@@ -1,0 +1,296 @@
+"""Sliding-window scan-to-submap registration (the reference ``Matcher``).
+
+Re-architecture of ``RS/src/ndt_registration/ndt_matcher.cpp`` for TPU:
+
+* ``predictTransform`` (:22-59)        -> :func:`predict_next_state`
+* ``estimateTransformCeres`` (:322-424)-> :func:`estimate_window`
+* ``estimateLoopConstraint`` (:426-493)-> :func:`estimate_loop`
+
+The window problem is fully batched: data association (once per frame, as in
+the reference, which builds the ceres::Problem once and re-solves it through
+the GNC schedule) gathers fixed-map neighbors for every (window slot, fixed
+map, moving cell); the residual vector and its forward-mode Jacobian then have
+one fixed shape per config and the whole GNC x LM iteration runs inside jit.
+
+Window parameter layout: params (W+1, 9) where row 0 is the anchor state
+(pose constant, velocities free — ``addMotionParameterBlock(..., true)`` only
+fixes the pose block, ``ndt_matcher.cpp:290-313``) and rows 1..W are the
+active states, row W the current frame.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..geometry import normalize_angle, rotmat
+from ..ndt import grid as G
+from . import residuals as R
+from . import solver
+
+
+class ScanWindow(NamedTuple):
+    """Derived NDT fields of the last W scans (moving maps), base frame.
+
+    Slot W-1 is the current scan; slot j pairs with window state j+1.
+    """
+
+    mean: jax.Array   # (W, C, 3)
+    cov: jax.Array    # (W, C, 3, 3)
+    valid: jax.Array  # (W, C)
+
+
+class FixedMaps(NamedTuple):
+    """Derived fields of the fixed NDT maps (current submap + optional
+    previous submap transformed into the current frame,
+    ``local_fuser.cpp:128-136``)."""
+
+    mean: jax.Array    # (F, H, W, 3)
+    cov: jax.Array     # (F, H, W, 3, 3)
+    valid: jax.Array   # (F, H, W)
+    use: jax.Array     # (F,) bool — second map only during submap overlap
+
+
+def transform_mean_cov(pose, mean, cov):
+    """Rigid transform of cell distributions: mu' = R3 mu + t3,
+    cov' = R3 cov R3^T (``Cell::transformCell``, ``ndt_cell.cpp:117-123``).
+    pose (..., 3) broadcast against mean (..., C, 3)."""
+    th = pose[..., 2]
+    R2 = rotmat(th)
+    dt = mean.dtype
+    z = jnp.zeros(pose.shape[:-1] + (2, 1), dt)
+    top = jnp.concatenate([R2, z], axis=-1)
+    bot = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], dt), pose.shape[:-1] + (1, 3))
+    A = jnp.concatenate([top, bot], axis=-2)
+    t3 = jnp.concatenate([pose[..., :2], jnp.zeros(pose.shape[:-1] + (1,), dt)], -1)
+    mu = jnp.einsum("...ij,...cj->...ci", A, mean) + t3[..., None, :]
+    cv = jnp.einsum("...ij,...cjk,...lk->...cil", A, cov, A)
+    return mu, cv
+
+
+def predict_next_state(state, raw_dt, use_constant_velocity: bool):
+    """``Matcher::predictTransform``: constant-velocity/acceleration rollout
+    of the newest state.  The reference zeroes lin_acc before predicting
+    (``ndt_matcher.cpp:26``)."""
+    s = state
+    if True:  # the reference always zeroes acceleration for the prediction
+        s = s.at[..., R.AX].set(0.0).at[..., R.AY].set(0.0)
+    return R.predict_state(s, raw_dt)
+
+
+class WindowEstimate(NamedTuple):
+    states: jax.Array      # (W+1, 9) updated window states
+    rejected: jax.Array    # bool — pose-jump rejection fired
+    cost: jax.Array
+    n_residuals: jax.Array
+
+
+def estimate_window(
+    cfg: SlamConfig,
+    states,        # (W+1, 9) anchor + active states (newest = predicted)
+    stamps,        # (W+1,)
+    state_exists,  # (W+1,) bool — False for slots before trajectory start
+    imu_meas,      # (W,) relative yaw measurements per transition
+    scans: ScanWindow,
+    fixed: FixedMaps,
+    prior_pose,    # (3,) pose-jump rejection reference (pre-prediction pose)
+):
+    """One frame of the sliding-window smoother (``estimateTransformCeres``)."""
+    mcfg = cfg.matcher
+    W = mcfg.smoothing_steps
+    K = mcfg.n_results_nn_lookup
+    geom = G.GridGeom.from_config(cfg.ndt_map)
+    dtype = states.dtype
+
+    # ---- data association (once per frame, at current estimates) ----------
+    # Query cells of window slot j (state row j, scan slot j-1), transformed
+    # by that state's pose (``ndt_matcher.cpp:206-214``).
+    poses = states[1:, :3]  # (W, 3)
+    q_mu, q_cov = transform_mean_cov(poses, scans.mean, scans.cov)  # (W, C, ...)
+
+    C = scans.mean.shape[1]
+    Fn = fixed.mean.shape[0]
+    radius = cfg.ndt_map.nn_window_radius
+
+    def assoc_one(f_mu, f_cov, f_val, qm, qc, qv):
+        return G.window_neighbors(
+            geom, f_mu, f_cov, f_val,
+            qm, qc, qv, K, radius,
+            use_distribution_metric=mcfg.lookup_distribution,
+        )
+
+    # vmap over fixed maps, then over window slots.
+    assoc = jax.vmap(
+        lambda qm, qc, qv: jax.vmap(assoc_one, in_axes=(0, 0, 0, None, None, None))(
+            fixed.mean, fixed.cov, fixed.valid, qm, qc, qv
+        )
+    )(q_mu.reshape(W, C, 3), q_cov.reshape(W, C, 3, 3), scans.valid)
+    # assoc.*: (W, F, C, K, ...)
+    slot_active = state_exists[1:]  # (W,)
+    pair_valid = (
+        assoc.valid
+        & fixed.use[None, :, None, None]
+        & slot_active[:, None, None, None]
+    )
+
+    m_mean_b = jnp.broadcast_to(
+        scans.mean[:, None, :, None, :], (W, Fn, C, K, 3)
+    )
+    m_cov_b = jnp.broadcast_to(
+        scans.cov[:, None, :, None, :, :], (W, Fn, C, K, 3, 3)
+    )
+
+    # ---- residual function over flattened params ---------------------------
+    sqrtI = (
+        jnp.asarray(np.asarray(mcfg.motion_sqrt_information), dtype)
+        * mcfg.covariance_scaling_factor
+    )
+    dts = stamps[1:] - stamps[:-1]  # (W,)
+
+    def residual_fn(p_flat):
+        p = p_flat.reshape(W + 1, 9)
+        pose_w = p[1:, :3]  # (W, 3)
+        r_ndt = R.ndt_residual(
+            pose_w[:, None, None, None, :], m_mean_b, m_cov_b, assoc.mean, assoc.cov
+        )  # (W, F, C, K)
+        r_mot = jax.vmap(R.motion_residual, in_axes=(0, 0, 0, None))(
+            p[:-1], p[1:], dts, sqrtI
+        )  # (W, 8)
+        r_imu = jax.vmap(R.imu_residual, in_axes=(0, 0, 0, 0, None, None))(
+            p[:-1], p[1:], dts, imu_meas, mcfg.weight_imu, mcfg.weight_imu_bias
+        )  # (W, 2)
+        return r_ndt.reshape(-1), jnp.concatenate([r_mot.reshape(-1), r_imu.reshape(-1)])
+
+    ndt_valid = pair_valid.reshape(-1)
+    trans_active = slot_active  # transition j exists iff state j exists
+    mot_valid = jnp.repeat(trans_active, 8)
+    imu_valid = jnp.repeat(trans_active & bool(mcfg.use_imu), 2)
+    aux_valid = jnp.concatenate([mot_valid, imu_valid])
+
+    # ---- parameter masks ----------------------------------------------------
+    # Anchor (row 0): pose fixed, velocities free; rows 1..W fully active;
+    # acceleration frozen under the constant-velocity model
+    # (``ndt_matcher.cpp:301-303``); bias active only with IMU.
+    per_state = np.ones(9, bool)
+    per_state[R.AX] = per_state[R.AY] = not mcfg.use_constant_velocity_model
+    per_state[R.BIAS] = bool(mcfg.use_imu)
+    mask = np.tile(per_state, (W + 1, 1))
+    mask[0, [R.X, R.Y, R.TH]] = False
+    mask[0, R.BIAS] = False  # anchor bias constant (``ndt_matcher.cpp:352``)
+    active_np = jnp.asarray(mask.reshape(-1))
+    # Slots whose state doesn't exist yet are fully frozen.
+    active_mask = active_np & jnp.repeat(state_exists, 9)
+    angle_mask = jnp.tile(
+        jnp.asarray(np.eye(1, 9, R.TH, dtype=bool)[0]), W + 1
+    )
+
+    n_cells = jnp.sum(
+        jnp.where(slot_active[:, None], scans.valid, False).astype(dtype)
+    )
+    ndt_scale = mcfg.ndt_weight / jnp.maximum(n_cells * K, 1.0)
+
+    res = solver.gnc_solve(
+        residual_fn,
+        states.reshape(-1),
+        active_mask,
+        angle_mask,
+        ndt_valid,
+        aux_valid,
+        ndt_scale,
+        mcfg.loss_function_scale,
+        mcfg.loss_function_convexity,
+        mcfg.gnc_steps,
+        mcfg.gnc_control_parameter_divisor,
+        mcfg.lm_max_iterations,
+        mcfg.lm_tolerance,
+    )
+    new_states = res.params.reshape(W + 1, 9)
+
+    # ---- pose-jump rejection (``ndt_matcher.cpp:411-422``) -----------------
+    newest = new_states[-1]
+    dx = jnp.abs(newest[R.X] - prior_pose[0])
+    dy = jnp.abs(newest[R.Y] - prior_pose[1])
+    dth = jnp.abs(normalize_angle(newest[R.TH] - prior_pose[2]))
+    reject = (
+        (dx > mcfg.pose_reject_translation)
+        | (dy > mcfg.pose_reject_translation)
+        | (dth > mcfg.pose_reject_rotation)
+    )
+    prev = new_states[-2]
+    fallback = (
+        newest
+        .at[R.X].set(prev[R.X]).at[R.Y].set(prev[R.Y]).at[R.TH].set(prev[R.TH])
+        .at[R.VX].set(0.0).at[R.VY].set(0.0).at[R.OM].set(0.0)
+        .at[R.AX].set(0.0).at[R.AY].set(0.0)
+        .at[R.BIAS].set(prev[R.BIAS])
+    )
+    new_states = new_states.at[-1].set(jnp.where(reject, fallback, newest))
+
+    return WindowEstimate(
+        states=new_states,
+        rejected=reject,
+        cost=res.cost,
+        n_residuals=res.n_ndt_valid,
+    )
+
+
+class LoopEstimate(NamedTuple):
+    pose: jax.Array
+    mean_cost: jax.Array   # final robust cost / residual count (diagnostic,
+                           # mirrors ``estimateLoopConstraint``'s return)
+    n_pairs: jax.Array
+
+
+def estimate_loop(
+    cfg: SlamConfig,
+    init_pose,                       # (3,) initial relative transform
+    f_mean, f_cov, f_valid,          # compacted fixed submap cells (F, ...)
+    m_mean, m_cov, m_valid,          # moving scan cells (C, ...)
+):
+    """Single-pose GNC refinement of a loop-closure candidate
+    (``Matcher::estimateLoopConstraint``, ``ndt_matcher.cpp:426-493``).
+
+    The fixed submap is compacted (flat cell list), so association is a
+    masked all-pairs top-k with the search-window L-inf cutoff.
+    """
+    mcfg = cfg.matcher
+    lcfg = cfg.local_fuser
+    K = mcfg.n_results_nn_lookup
+
+    q_mu, q_cov = transform_mean_cov(init_pose, m_mean, m_cov)
+    cutoff = (cfg.ndt_map.nn_window_radius + 0.5) * cfg.ndt_map.resolution
+    assoc = G.allpairs_neighbors(
+        f_mean, f_cov, f_valid, q_mu, q_cov, m_valid, K, cutoff,
+        use_distribution_metric=mcfg.lookup_distribution,
+    )
+    pair_valid = assoc.valid.reshape(-1)
+    m_mu_b = jnp.broadcast_to(m_mean[:, None, :], assoc.mean.shape)
+    m_cov_b = jnp.broadcast_to(m_cov[:, None, :, :], assoc.cov.shape)
+
+    def residual_fn(pose):
+        r = R.ndt_residual(
+            pose[None, None, :], m_mu_b, m_cov_b, assoc.mean, assoc.cov
+        )
+        return r.reshape(-1), jnp.zeros((1,), pose.dtype)
+
+    res = solver.gnc_solve(
+        residual_fn,
+        init_pose,
+        jnp.ones(3, bool),
+        jnp.asarray([False, False, True]),
+        pair_valid,
+        jnp.zeros(1, bool),
+        jnp.asarray(1.0, init_pose.dtype),   # ScaledLoss weight 1 (:479)
+        lcfg.loop_closure_scale,
+        mcfg.loss_function_convexity,
+        lcfg.loop_closure_gnc_steps,
+        mcfg.gnc_control_parameter_divisor,
+        mcfg.lm_max_iterations,
+        mcfg.lm_tolerance,
+    )
+    n = jnp.maximum(res.n_ndt_valid, 1)
+    return LoopEstimate(pose=res.params, mean_cost=res.cost / n, n_pairs=res.n_ndt_valid)

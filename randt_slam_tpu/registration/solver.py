@@ -1,0 +1,170 @@
+"""Batched Levenberg-Marquardt with Barron-loss graduated non-convexity.
+
+Replaces the reference's Ceres solve loop (``Matcher::estimateTransformCeres``,
+``RS/src/ndt_registration/ndt_matcher.cpp:322-424``): instead of a dynamically
+assembled ceres::Problem re-solved per GNC step with LM trust regions, the TPU
+build evaluates ALL residuals as one fixed-shape batch, takes exact forward-
+mode Jacobians (``jax.jacfwd``), applies the robust loss as IRLS weights
+(rho'(s) — see ``barron.py``), and solves the tiny dense normal equations on
+device.  The GNC mu schedule (``ndt_matcher.cpp:386-397``) runs as a
+``lax.while_loop`` around the LM ``lax.while_loop`` — no host round trips.
+
+Problem shape: parameter vector p (P,), two residual families:
+  * NDT residuals  (robustified + ScaledLoss factor ``ndt_scale`` =
+    ndt_weight / (n_cells * n_neighbours), ``ndt_matcher.cpp:392``)
+  * auxiliary residuals (motion model / IMU; unit loss)
+Masks select valid residuals and active parameters; invalid entries carry
+zero weight so padded shapes never affect the solution.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import normalize_angle
+from . import barron
+
+
+class SolveResult(NamedTuple):
+    params: jax.Array
+    cost: jax.Array          # final robust cost: 0.5*(a*sum rho + sum r_aux^2)
+    n_ndt_valid: jax.Array   # number of active NDT residuals
+    gnc_rounds: jax.Array
+
+
+def _robust_cost(r_ndt, r_aux, ndt_valid, aux_valid, ndt_scale, scale, alpha, mu):
+    s = r_ndt * r_ndt
+    c_ndt = jnp.sum(jnp.where(ndt_valid, barron.rho(s, scale, alpha, mu), 0.0))
+    c_aux = jnp.sum(jnp.where(aux_valid, r_aux * r_aux, 0.0))
+    return 0.5 * (ndt_scale * c_ndt + c_aux)
+
+
+def lm_solve(
+    residual_fn: Callable,
+    params0,
+    active_mask,
+    angle_mask,
+    ndt_valid,
+    aux_valid,
+    ndt_scale,
+    scale: float,
+    alpha: float,
+    mu,
+    max_iters: int,
+    tol: float,
+):
+    """Damped Gauss-Newton (LM) at a fixed GNC mu.
+
+    residual_fn(params) -> (r_ndt (Nn,), r_aux (Na,)).
+    """
+    P = params0.shape[0]
+    active_f = active_mask.astype(params0.dtype)
+
+    def stacked(p):
+        rn, ra = residual_fn(p)
+        return jnp.concatenate([rn, ra])
+
+    n_ndt = ndt_valid.shape[0]
+
+    def cost_at(p):
+        rn, ra = residual_fn(p)
+        return _robust_cost(rn, ra, ndt_valid, aux_valid, ndt_scale, scale, alpha, mu)
+
+    def body(carry):
+        p, lam, c_old, it, done = carry
+        r = stacked(p)
+        J = jax.jacfwd(stacked)(p)  # (N, P)
+        rn = r[:n_ndt]
+        w_ndt = ndt_scale * barron.weight(rn * rn, scale, alpha, mu)
+        w = jnp.concatenate(
+            [
+                jnp.where(ndt_valid, w_ndt, 0.0),
+                jnp.where(aux_valid, 1.0, 0.0),
+            ]
+        )
+        Jm = J * active_f[None, :]
+        JW = Jm * w[:, None]
+        H = Jm.T @ JW
+        g = JW.T @ r
+        # Marquardt damping on the diagonal + identity on inactive params.
+        diag = jnp.diag(H)
+        damp = lam * jnp.maximum(diag, 1e-8) + (1.0 - active_f)
+        delta = -jnp.linalg.solve(H + jnp.diag(damp), g) * active_f
+
+        trial = p + delta
+        trial = jnp.where(angle_mask, normalize_angle(trial), trial)
+        c_new = cost_at(trial)
+        accept = c_new < c_old
+        p_next = jnp.where(accept, trial, p)
+        c_next = jnp.where(accept, c_new, c_old)
+        lam_next = jnp.clip(
+            jnp.where(accept, lam / 3.0, lam * 4.0), 1e-10, 1e8
+        )
+        small = jnp.linalg.norm(delta) < tol
+        done_next = (accept & small) | ((~accept) & (lam >= 1e7))
+        return p_next, lam_next, c_next, it + 1, done_next
+
+    def cond(carry):
+        _, _, _, it, done = carry
+        return (it < max_iters) & (~done)
+
+    c0 = cost_at(params0)
+    lam0 = jnp.asarray(1e-4, params0.dtype)
+    p, _, c, it, _ = jax.lax.while_loop(
+        cond, body, (params0, lam0, c0, jnp.int32(0), jnp.bool_(False))
+    )
+    return p, c
+
+
+def gnc_solve(
+    residual_fn: Callable,
+    params0,
+    active_mask,
+    angle_mask,
+    ndt_valid,
+    aux_valid,
+    ndt_scale,
+    scale: float,
+    alpha: float,
+    gnc_steps: int,
+    divisor: float,
+    lm_max_iters: int,
+    lm_tol: float,
+) -> SolveResult:
+    """Graduated non-convexity: LM solves over the decreasing-mu schedule
+    (do-while, ``ndt_matcher.cpp:390-397``)."""
+    rn0, _ = residual_fn(params0)
+    s0 = jnp.where(ndt_valid, rn0 * rn0, 0.0)
+    mu0 = barron.gnc_mu_init(jnp.max(s0), scale, gnc_steps, divisor)
+
+    def cond(carry):
+        _, mu, rounds = carry
+        first = rounds == 0
+        return first | barron.gnc_continue(mu, divisor)
+
+    def body(carry):
+        p, mu, rounds = carry
+        mu_eff = jnp.maximum(mu, 1.0)
+        p_new, _ = lm_solve(
+            residual_fn, p, active_mask, angle_mask, ndt_valid, aux_valid,
+            ndt_scale, scale, alpha, mu_eff, lm_max_iters, lm_tol,
+        )
+        return p_new, mu / divisor, rounds + 1
+
+    p, mu, rounds = jax.lax.while_loop(
+        cond, body, (params0, mu0, jnp.int32(0))
+    )
+    rn, ra = residual_fn(p)
+    final_cost = _robust_cost(
+        rn, ra, ndt_valid, aux_valid, ndt_scale, scale, alpha, jnp.maximum(mu, 1.0)
+    )
+    return SolveResult(
+        params=p,
+        cost=final_cost,
+        n_ndt_valid=jnp.sum(ndt_valid),
+        gnc_rounds=rounds,
+    )
