@@ -229,6 +229,7 @@ class CapacityConfig:
     max_azimuths: int = 512       # beams per scan (raytracing / peak list)
     max_range_bins: int = 1024    # polar image width fed to the preprocessor
     max_submap_cells: int = 4096  # compacted cells per finished submap
+    max_submaps: int = 512        # finished-submap store capacity
     max_nodes: int = 8192         # pose-graph nodes per sequence
     max_edges: int = 16384        # pose-graph edges per sequence
     max_keyframes: int = 8192     # ScanContext database size

@@ -31,10 +31,42 @@ class SyntheticSequence(NamedTuple):
     landmarks: np.ndarray   # (L, 3) world scatterers [x, y, reflectivity]
 
 
-def make_world(rng, n_landmarks=400, extent=220.0, min_refl=90.0, max_refl=180.0):
-    pts = rng.uniform(-extent, extent, (n_landmarks, 2))
-    refl = rng.uniform(min_refl, max_refl, (n_landmarks, 1))
-    return np.concatenate([pts, refl], axis=1).astype(np.float32)
+def make_world(rng, trajectory=None, extent=220.0, min_refl=90.0, max_refl=180.0,
+               n_walls=60, wall_point_spacing=0.5, corridor=60.0,
+               n_clutter=120):
+    """Extended structures (walls as scatterer chains) + point clutter.
+
+    Radar NDT matching relies on cells holding structured multi-point
+    distributions (building facades, vegetation lines); isolated point
+    scatterers produce degenerate single-beam cells.  When a trajectory is
+    given, walls are placed in a corridor around it so the sensor always sees
+    nearby structure (as in urban radar data).
+    """
+    chunks = []
+    for _ in range(n_walls):
+        if trajectory is not None:
+            anchor = trajectory[rng.integers(0, len(trajectory)), :2]
+            c = anchor + rng.uniform(-corridor, corridor, 2)
+        else:
+            c = rng.uniform(-extent, extent, 2)
+        th = rng.uniform(0, np.pi)
+        length = rng.uniform(8.0, 40.0)
+        n = max(2, int(length / wall_point_spacing))
+        t = np.linspace(-length / 2, length / 2, n)
+        pts = c[None, :] + np.outer(t, [np.cos(th), np.sin(th)])
+        pts = pts + rng.normal(0, 0.15, pts.shape)  # surface roughness
+        refl = np.full((n, 1), rng.uniform(min_refl, max_refl))
+        refl = refl + rng.normal(0, 5.0, (n, 1))
+        chunks.append(np.concatenate([pts, refl], axis=1))
+    if n_clutter:
+        if trajectory is not None:
+            anchors = trajectory[rng.integers(0, len(trajectory), n_clutter), :2]
+            pts = anchors + rng.uniform(-corridor, corridor, (n_clutter, 2))
+        else:
+            pts = rng.uniform(-extent, extent, (n_clutter, 2))
+        refl = rng.uniform(min_refl, max_refl, (n_clutter, 1))
+        chunks.append(np.concatenate([pts, refl], axis=1))
+    return np.concatenate(chunks).astype(np.float32)
 
 
 def make_trajectory(rng, n_frames, dt=0.25, speed=4.0, yaw_rate_scale=0.15,
@@ -62,12 +94,16 @@ def make_trajectory(rng, n_frames, dt=0.25, speed=4.0, yaw_rate_scale=0.15,
 
 
 def render_scan(pose, landmarks, azimuths, ranges, rng,
-                blob_sigma_bins=1.5, speckle=8.0, beamwidth=None):
-    """Render one polar intensity image from a sensor pose."""
+                blob_sigma_bins=1.5, speckle=8.0, beam_sigma_az=1.2):
+    """Render one polar intensity image from a sensor pose.
+
+    Each scatterer paints a 2-D blob: Gaussian over a few range bins AND over
+    adjacent azimuths (finite antenna beamwidth, like the Navtech sensor the
+    reference targets) — without the azimuth spread, NDT cells collapse to
+    radial pencils and distribution matching degenerates.
+    """
     A, R = len(azimuths), len(ranges)
     bin_width = float(ranges[1] - ranges[0])
-    if beamwidth is None:
-        beamwidth = 2.0 * np.pi / A
     c, s = np.cos(pose[2]), np.sin(pose[2])
     rel = landmarks[:, :2] - pose[:2]
     lx = c * rel[:, 0] + s * rel[:, 1]
@@ -77,35 +113,43 @@ def render_scan(pose, landmarks, azimuths, ranges, rng,
     img = rng.rayleigh(speckle, (A, R)).astype(np.float32)
 
     vis = (rr > ranges[0]) & (rr < ranges[-1])
-    az_idx = np.round((aa - azimuths[0]) / (azimuths[1] - azimuths[0])).astype(int) % A
+    az_frac = (aa - azimuths[0]) / (azimuths[1] - azimuths[0])
     r_idx = (rr - ranges[0]) / bin_width
+    az_off = np.arange(-2, 3)
     for k in np.nonzero(vis)[0]:
-        a0 = az_idx[k]
         rc = r_idx[k]
         lo = max(0, int(rc - 4))
         hi = min(R, int(rc + 5))
         bins = np.arange(lo, hi)
-        prof = landmarks[k, 2] * np.exp(-0.5 * ((bins - rc) / blob_sigma_bins) ** 2)
-        img[a0, lo:hi] = np.maximum(img[a0, lo:hi], prof)
+        r_prof = np.exp(-0.5 * ((bins - rc) / blob_sigma_bins) ** 2)
+        for da in az_off:
+            a = int(np.round(az_frac[k] + da)) % A
+            w = np.exp(-0.5 * ((a - az_frac[k] + A / 2) % A - A / 2) ** 2
+                       / beam_sigma_az**2)
+            prof = landmarks[k, 2] * w * r_prof
+            img[a, lo:hi] = np.maximum(img[a, lo:hi], prof)
     return img
 
 
 def generate(
     seed=0,
     n_frames=60,
-    n_azimuths=128,
+    n_azimuths=256,
     n_bins=256,
-    max_range=100.0,
+    max_range=80.0,
     dt=0.25,
     speed=4.0,
     loop=False,
-    n_landmarks=400,
+    n_walls=60,
     imu_bias=0.01,
     imu_noise=0.002,
 ) -> SyntheticSequence:
     rng = np.random.default_rng(seed)
-    landmarks = make_world(rng, n_landmarks=n_landmarks, extent=max_range * 1.6)
     poses = make_trajectory(rng, n_frames, dt=dt, speed=speed, loop=loop)
+    landmarks = make_world(
+        rng, trajectory=poses, extent=max_range * 1.6, n_walls=n_walls,
+        corridor=0.6 * max_range,
+    )
     azimuths = (np.arange(n_azimuths) / n_azimuths * 2.0 * np.pi - np.pi).astype(
         np.float32
     )

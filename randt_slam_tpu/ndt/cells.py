@@ -130,10 +130,13 @@ def regularize_cov(cov, eig_floor_ratio=0.001, intensity_jitter=1e-6):
     p11 = lam_hi * vy * vy + lam_lo_reg * vx * vx
 
     out = cov
-    out = out.at[..., 0, 0].set(p00)
+    # The tiny absolute position jitter (1e-6 m^2) keeps 3x3 solves finite in
+    # float32 for degenerate (empty/near-empty) cells; the reference runs
+    # Ceres in double and needs no floor.  Impact on real cells: ~1 mm.
+    out = out.at[..., 0, 0].set(p00 + intensity_jitter)
     out = out.at[..., 0, 1].set(p01)
     out = out.at[..., 1, 0].set(p01)
-    out = out.at[..., 1, 1].set(p11)
+    out = out.at[..., 1, 1].set(p11 + intensity_jitter)
     out = out.at[..., 2, 2].add(intensity_jitter)
     return out
 

@@ -177,10 +177,24 @@ def window_neighbors(
     neg, idx = jax.lax.top_k(-dist, k)  # (Q, k)
     sel_valid = jnp.isfinite(neg)
     take = jnp.take_along_axis
+    return _sanitize(
+        NeighborSet(
+            mean=take(gm, idx[..., None], axis=1),
+            cov=take(gc, idx[..., None, None], axis=1),
+            valid=sel_valid,
+        )
+    )
+
+
+def _sanitize(nb: NeighborSet) -> NeighborSet:
+    """Replace invalid (padded) neighbors with benign values so downstream
+    residual Jacobians stay finite in float32 (their weights are zero)."""
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=nb.cov.dtype), nb.cov.shape)
+    v = nb.valid[..., None]
     return NeighborSet(
-        mean=take(gm, idx[..., None], axis=1),
-        cov=take(gc, idx[..., None, None], axis=1),
-        valid=sel_valid,
+        mean=jnp.where(v, nb.mean, 0.0),
+        cov=jnp.where(v[..., None], nb.cov, eye),
+        valid=nb.valid,
     )
 
 
@@ -213,8 +227,10 @@ def allpairs_neighbors(
     dist = jnp.where(ok, dist, jnp.inf)
     neg, idx = jax.lax.top_k(-dist, k)
     sel_valid = jnp.isfinite(neg)
-    return NeighborSet(
-        mean=f_mean[idx],
-        cov=f_cov[idx],
-        valid=sel_valid,
+    return _sanitize(
+        NeighborSet(
+            mean=f_mean[idx],
+            cov=f_cov[idx],
+            valid=sel_valid,
+        )
     )

@@ -1,0 +1,177 @@
+"""Offline SLAM driver: the deterministic replay mode of the reference
+(``NDTSlam::initializeOffline``, ``RS/src/ndt_slam/ndt_slam.cpp:94-209``),
+re-architected as three batched phases:
+
+  A. **Odometry** — sequential ``lax.scan`` of the jitted front-end step over
+     all frames (per-frame poses, pose-graph nodes/edges, compacted submaps).
+  B. **Loop closure** — one batched pass over all keyframes (ScanContext
+     retrieval as matmuls + top-k, GNC refinement and CS-divergence gating
+     vmapped over candidates).  Valid offline because loop edges never feed
+     back into odometry before the single final pose-graph solve
+     (``ndt_slam.cpp:124,176``).
+  C. **Pose-graph optimization** — one batched Gauss-Newton solve, then
+     submap re-anchoring (``GlobalFuser::optimizePoseGraph`` +
+     ``LocalFuser::updateSubmaps``).
+
+This module holds phase A and the host-side result containers; phases B/C
+live in ``loops/`` and ``graph/``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from . import frontend as F
+
+
+@dataclasses.dataclass
+class OdometryResult:
+    """Host-side phase-A output (numpy)."""
+
+    odom_poses: np.ndarray      # (T, 3) per-frame global poses (/ndt_odom)
+    node_id: np.ndarray         # (N,) int
+    node_pose: np.ndarray       # (N, 3) global node poses (odometry estimate)
+    node_stamp: np.ndarray      # (N,)
+    node_traversed: np.ndarray  # (N,)
+    node_submap: np.ndarray     # (N,) int
+    node_frame: np.ndarray      # (N,) int — source frame index
+    node_is_root: np.ndarray    # (N,) bool
+    edge_begin: np.ndarray      # (E,) int
+    edge_end: np.ndarray        # (E,) int
+    edge_trans: np.ndarray      # (E, 3)
+    edge_sqrt_information: np.ndarray  # (E, 3, 3)
+    # submap store (device arrays kept for phases B/C)
+    submap_cells_n: jax.Array   # (NS, KS)
+    submap_cells_s: jax.Array
+    submap_cells_ss: jax.Array
+    submap_origin: np.ndarray   # (NS, 3)
+    submap_root: np.ndarray     # (NS,) int
+    n_submaps: int
+    rejected_frames: np.ndarray  # (T,) bool
+    final_carry: object = None
+
+
+def frames_from_arrays(intensity, azimuths, ranges, stamps, imu_yaw=None):
+    """Stack a sequence into a Frame pytree of (T, ...) device arrays."""
+    T, A, Rb = intensity.shape
+    if imu_yaw is None:
+        imu_yaw = np.zeros(T, np.float32)
+    return F.Frame(
+        intensity=jnp.asarray(intensity, jnp.float32),
+        azimuths=jnp.broadcast_to(jnp.asarray(azimuths, jnp.float32), (T, A)),
+        ranges=jnp.broadcast_to(jnp.asarray(ranges, jnp.float32), (T, Rb)),
+        azimuth_mask=jnp.ones((T, A), bool),
+        stamp=jnp.asarray(stamps, jnp.float32),
+        imu_yaw=jnp.asarray(imu_yaw, jnp.float32),
+        index=jnp.arange(T, dtype=jnp.int32),
+    )
+
+
+def _unstack_outputs(cfg: SlamConfig, outs: F.FrameOutput) -> dict:
+    """Gather valid node/edge records from stacked (T, 2, ...) outputs."""
+    nodes = jax.tree.map(np.asarray, outs.nodes)
+    edges = jax.tree.map(np.asarray, outs.edges)
+    nv = nodes.valid.reshape(-1)
+    ev = edges.valid.reshape(-1)
+    node = {
+        "node_id": nodes.node_id.reshape(-1)[nv],
+        "node_pose": nodes.pose.reshape(-1, 3)[nv],
+        "node_stamp": nodes.stamp.reshape(-1)[nv],
+        "node_traversed": nodes.traversed.reshape(-1)[nv],
+        "node_submap": nodes.submap_id.reshape(-1)[nv],
+        "node_frame": nodes.frame_idx.reshape(-1)[nv],
+        "node_is_root": nodes.is_root.reshape(-1)[nv],
+    }
+    edge = {
+        "edge_begin": edges.id_begin.reshape(-1)[ev],
+        "edge_end": edges.id_end.reshape(-1)[ev],
+        "edge_trans": edges.trans.reshape(-1, 3)[ev],
+        "edge_sqrt_information": edges.sqrt_information.reshape(-1, 3, 3)[ev],
+    }
+    # sanity: node ids must be consecutive
+    order = np.argsort(node["node_id"])
+    for k in node:
+        node[k] = node[k][order]
+    return {**node, **edge}
+
+
+def run_odometry(
+    cfg: SlamConfig,
+    frames: F.Frame,
+    sensor_to_base=None,
+    initial_pose=None,
+    use_scan: bool = True,
+    chunk: int = 0,
+) -> OdometryResult:
+    """Phase A over a full sequence.
+
+    use_scan: drive with ``lax.scan`` (fast path); otherwise a Python loop of
+    the jitted step (debuggable, identical math).
+    chunk: if >0 with use_scan, scan in chunks of this many frames (keeps
+    compile time down for very long sequences).
+    """
+    dtype = jnp.float32
+    if sensor_to_base is None:
+        sensor_to_base = jnp.zeros(3, dtype)
+    carry = F.init_carry(cfg, initial_pose=initial_pose)
+    T = int(frames.stamp.shape[0])
+
+    step = jax.jit(partial(F.frontend_step, cfg, sensor_to_base=sensor_to_base))
+
+    if use_scan:
+        def scan_body(c, fr):
+            return F.frontend_step(cfg, c, fr, sensor_to_base)
+
+        scan_fn = jax.jit(lambda c, fs: jax.lax.scan(scan_body, c, fs))
+        if chunk and chunk < T:
+            outs_list = []
+            for lo in range(0, T, chunk):
+                hi = min(lo + chunk, T)
+                part = jax.tree.map(lambda x: x[lo:hi], frames)
+                carry, outs = scan_fn(carry, part)
+                outs_list.append(jax.tree.map(np.asarray, outs))
+            outs = jax.tree.map(
+                lambda *xs: np.concatenate(xs, axis=0), *outs_list
+            )
+        else:
+            carry, outs = scan_fn(carry, frames)
+    else:
+        outs_list = []
+        for t in range(T):
+            fr = jax.tree.map(lambda x: x[t], frames)
+            carry, out = step(carry, fr)
+            outs_list.append(jax.tree.map(np.asarray, out))
+        outs = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *outs_list)
+
+    carry = jax.jit(partial(F.flush_submap, cfg))(carry)
+
+    tables = _unstack_outputs(cfg, outs)
+    return OdometryResult(
+        odom_poses=np.asarray(outs.odom_pose),
+        node_id=tables["node_id"],
+        node_pose=tables["node_pose"],
+        node_stamp=tables["node_stamp"],
+        node_traversed=tables["node_traversed"],
+        node_submap=tables["node_submap"],
+        node_frame=tables["node_frame"],
+        node_is_root=tables["node_is_root"],
+        edge_begin=tables["edge_begin"],
+        edge_end=tables["edge_end"],
+        edge_trans=tables["edge_trans"],
+        edge_sqrt_information=tables["edge_sqrt_information"],
+        submap_cells_n=carry.store_cells.n,
+        submap_cells_s=carry.store_cells.s,
+        submap_cells_ss=carry.store_cells.ss,
+        submap_origin=np.asarray(carry.store_origin),
+        submap_root=np.asarray(carry.store_root),
+        n_submaps=int(carry.store_count),
+        rejected_frames=np.asarray(outs.rejected),
+        final_carry=carry,
+    )

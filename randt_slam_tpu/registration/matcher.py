@@ -130,18 +130,31 @@ def estimate_window(
         )
     )(q_mu.reshape(W, C, 3), q_cov.reshape(W, C, 3, 3), scans.valid)
     # assoc.*: (W, F, C, K, ...)
-    slot_active = state_exists[1:]  # (W,)
+    # Window size shrinks early in a submap: the anchor (pose-constant) state
+    # is the OLDEST existing state, mirroring
+    # ``smoothing_steps_iter = min(trajectory.size()-1, smoothing_steps)``
+    # (``ndt_matcher.cpp:343-356``).  Row indices run 0..W; rows <= anchor_row
+    # contribute no NDT/motion factors.
+    n_exist = jnp.sum(state_exists.astype(jnp.int32))
+    anchor_row = (W + 1) - n_exist  # in [0, W]
+    rows = jnp.arange(W + 1)
+    slot_active = rows[1:] > anchor_row  # (W,) NDT/motion factor slots
     pair_valid = (
         assoc.valid
         & fixed.use[None, :, None, None]
         & slot_active[:, None, None, None]
     )
 
+    # Benign values for invalid (padded) moving cells: keeps Jacobians finite
+    # in float32 (their pair weights are zero).
+    eye3 = jnp.eye(3, dtype=scans.cov.dtype)
+    safe_mean = jnp.where(scans.valid[..., None], scans.mean, 0.0)
+    safe_cov = jnp.where(scans.valid[..., None, None], scans.cov, eye3)
     m_mean_b = jnp.broadcast_to(
-        scans.mean[:, None, :, None, :], (W, Fn, C, K, 3)
+        safe_mean[:, None, :, None, :], (W, Fn, C, K, 3)
     )
     m_cov_b = jnp.broadcast_to(
-        scans.cov[:, None, :, None, :, :], (W, Fn, C, K, 3, 3)
+        safe_cov[:, None, :, None, :, :], (W, Fn, C, K, 3, 3)
     )
 
     # ---- residual function over flattened params ---------------------------
@@ -166,24 +179,29 @@ def estimate_window(
         return r_ndt.reshape(-1), jnp.concatenate([r_mot.reshape(-1), r_imu.reshape(-1)])
 
     ndt_valid = pair_valid.reshape(-1)
-    trans_active = slot_active  # transition j exists iff state j exists
+    trans_active = slot_active  # transition into row j exists iff j > anchor
     mot_valid = jnp.repeat(trans_active, 8)
     imu_valid = jnp.repeat(trans_active & bool(mcfg.use_imu), 2)
     aux_valid = jnp.concatenate([mot_valid, imu_valid])
 
     # ---- parameter masks ----------------------------------------------------
-    # Anchor (row 0): pose fixed, velocities free; rows 1..W fully active;
-    # acceleration frozen under the constant-velocity model
-    # (``ndt_matcher.cpp:301-303``); bias active only with IMU.
+    # Anchor row: pose fixed but velocities free
+    # (``addMotionParameterBlock(..., set_constant=true)`` only pins the pose
+    # block, ``ndt_matcher.cpp:290-313``); anchor bias constant (:352);
+    # acceleration frozen under the constant-velocity model (:301-303);
+    # bias active only with IMU; non-existing rows fully frozen.
     per_state = np.ones(9, bool)
     per_state[R.AX] = per_state[R.AY] = not mcfg.use_constant_velocity_model
     per_state[R.BIAS] = bool(mcfg.use_imu)
-    mask = np.tile(per_state, (W + 1, 1))
-    mask[0, [R.X, R.Y, R.TH]] = False
-    mask[0, R.BIAS] = False  # anchor bias constant (``ndt_matcher.cpp:352``)
-    active_np = jnp.asarray(mask.reshape(-1))
-    # Slots whose state doesn't exist yet are fully frozen.
-    active_mask = active_np & jnp.repeat(state_exists, 9)
+    static_mask = jnp.asarray(np.tile(per_state, (W + 1, 1)))  # (W+1, 9)
+    pose_cols = jnp.asarray(
+        np.isin(np.arange(9), [R.X, R.Y, R.TH])
+    )
+    is_anchor = rows == anchor_row  # (W+1,)
+    anchor_frozen = is_anchor[:, None] & (pose_cols | (jnp.arange(9) == R.BIAS))[None, :]
+    active_mask = (
+        static_mask & ~anchor_frozen & state_exists[:, None]
+    ).reshape(-1)
     angle_mask = jnp.tile(
         jnp.asarray(np.eye(1, 9, R.TH, dtype=bool)[0]), W + 1
     )
@@ -268,8 +286,11 @@ def estimate_loop(
         use_distribution_metric=mcfg.lookup_distribution,
     )
     pair_valid = assoc.valid.reshape(-1)
-    m_mu_b = jnp.broadcast_to(m_mean[:, None, :], assoc.mean.shape)
-    m_cov_b = jnp.broadcast_to(m_cov[:, None, :, :], assoc.cov.shape)
+    eye3 = jnp.eye(3, dtype=m_cov.dtype)
+    safe_mean = jnp.where(m_valid[..., None], m_mean, 0.0)
+    safe_cov = jnp.where(m_valid[..., None, None], m_cov, eye3)
+    m_mu_b = jnp.broadcast_to(safe_mean[:, None, :], assoc.mean.shape)
+    m_cov_b = jnp.broadcast_to(safe_cov[:, None, :, :], assoc.cov.shape)
 
     def residual_fn(pose):
         r = R.ndt_residual(

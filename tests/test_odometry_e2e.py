@@ -1,0 +1,102 @@
+"""End-to-end odometry on a synthetic world: the minimum end-to-end slice
+(SURVEY.md §7.2 M2/M3).  A simulated radar drives through a landmark field;
+the front end must track the ground-truth trajectory."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from randt_slam_tpu.config import (
+    SlamConfig, MapConfig, MatcherConfig, PreprocessorConfig, CapacityConfig,
+    LocalFuserConfig, derive,
+)
+from randt_slam_tpu.io import synthetic, formats
+from randt_slam_tpu.pipeline import slam
+
+
+def small_cfg():
+    cfg = SlamConfig(
+        ndt_map=MapConfig(size_x=300, size_y=300, resolution=3.0,
+                          min_points_per_cell=8,
+                          max_neighbour_linf_distance=9.0),
+        preprocessor=PreprocessorConfig(min_range=2.0, max_range=80.0,
+                                        min_intensity=40.0,
+                                        beam_distance_increment_threshold=1.0),
+        matcher=MatcherConfig(smoothing_steps=3, gnc_steps=2,
+                              lm_max_iterations=12),
+        local_fuser=LocalFuserConfig(submap_size_poses=20, submap_overlap=10,
+                                     insertion_step=2),
+        capacity=CapacityConfig(max_points=4096, max_scan_cells=256,
+                                max_azimuths=256, max_range_bins=256,
+                                max_submap_cells=1024, max_submaps=8),
+    )
+    return derive(cfg)
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return synthetic.generate(seed=3, n_frames=46, n_azimuths=256, n_bins=256,
+                              speed=4.0, dt=0.25)
+
+
+@pytest.fixture(scope="module")
+def result(seq):
+    cfg = small_cfg()
+    frames = slam.frames_from_arrays(
+        seq.intensity, seq.azimuths, seq.ranges, seq.stamps
+    )
+    return slam.run_odometry(cfg, frames, use_scan=True)
+
+
+def test_odometry_tracks_ground_truth(seq, result):
+    est = result.odom_poses
+    assert est.shape == (46, 3)
+    err_ate = formats.ate(est, seq.gt_poses, align=True)
+    # ~4 m/frame motion over 46 frames, several hundred meters travelled;
+    # odometry should stay within a couple of meters RMS.
+    assert err_ate < 2.0, f"odometry ATE too high: {err_ate}"
+    t_rpe, r_rpe = formats.rpe(est, seq.gt_poses)
+    assert t_rpe < 0.25, f"RPE trans too high: {t_rpe}"
+    assert r_rpe < 1.5, f"RPE rot too high: {r_rpe}"
+
+
+def test_node_edge_tables_consistent(result):
+    n = len(result.node_id)
+    assert n > 5
+    assert np.array_equal(result.node_id, np.arange(n))
+    # submaps: 46 frames -> boundary at frame 19 and 38 -> 3 submaps
+    assert result.n_submaps == 3
+    assert result.node_submap.max() == 2
+    # root flags: one per submap
+    assert result.node_is_root.sum() == 3
+    # edges chain consecutive nodes
+    assert np.array_equal(result.edge_begin, result.edge_end - 1)
+    # edge transforms consistent with node poses
+    for k in range(len(result.edge_begin)):
+        a = result.node_pose[result.edge_begin[k]]
+        b = result.node_pose[result.edge_end[k]]
+        c, s = np.cos(a[2]), np.sin(a[2])
+        rel = np.array(
+            [c * (b[0] - a[0]) + s * (b[1] - a[1]),
+             -s * (b[0] - a[0]) + c * (b[1] - a[1]),
+             np.arctan2(np.sin(b[2] - a[2]), np.cos(b[2] - a[2]))]
+        )
+        np.testing.assert_allclose(result.edge_trans[k], rel, atol=1e-3)
+
+
+def test_node_poses_match_odometry_at_frames(seq, result):
+    # Node poses are smoothed; they should agree with the ground truth about
+    # as well as the per-frame odometry does.
+    node_gt = seq.gt_poses[result.node_frame]
+    err = formats.ate(result.node_pose, node_gt, align=True)
+    assert err < 2.0
+
+
+def test_python_loop_matches_scan(seq):
+    cfg = small_cfg()
+    frames = slam.frames_from_arrays(
+        seq.intensity[:24], seq.azimuths, seq.ranges, seq.stamps[:24]
+    )
+    r1 = slam.run_odometry(cfg, frames, use_scan=True)
+    r2 = slam.run_odometry(cfg, frames, use_scan=False)
+    np.testing.assert_allclose(r1.odom_poses, r2.odom_poses, atol=1e-4)
