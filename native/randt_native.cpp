@@ -1,0 +1,125 @@
+// Host-side native runtime components for the TPU radar SLAM engine.
+//
+// The reference implements its entire runtime in C++ (ROS nodes, PCL point
+// cloud handling, Bresenham raytracing).  The TPU engine keeps the compute
+// path in XLA; these are the host-side pieces where native code still pays:
+//
+//  * pack_polar_image  — converts unorganized (x, y, intensity) radar point
+//    clouds (the reference's input format, sensor_msgs/PointCloud2 ->
+//    pcl::PointCloud, RS/src/radar_preprocessing/radar_preprocessor.cpp:45-60)
+//    into the dense polar intensity images the device pipeline consumes.
+//    This is the data-loader hot path when replaying real rosbag exports.
+//
+//  * bresenham_raytrace — the reference's exact integer Bresenham counting-
+//    grid update (RS/src/ndt_representation/ndt_hierarchical_map.cpp:87-149):
+//    free cells -1 along the ray, +2 at the hit cell.  Used as the golden
+//    oracle for the device DDA raytracer and for fast host-side OGM export.
+//
+// Built as a plain shared library; Python binds via ctypes (randt_slam_tpu/io/native.py).
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+
+extern "C" {
+
+// Scatter n points (x, y, intensity) into an (A x R) polar image.
+// Azimuth rows are uniform: azimuth0 + k * azimuth_step (wrapping).
+// Range bins: r0 + j * bin_width.  Intensities max-combine per bin.
+void pack_polar_image(const float* xyi, int64_t n_points,
+                      float azimuth0, float azimuth_step, int64_t n_azimuths,
+                      float r0, float bin_width, int64_t n_bins,
+                      float* out_image) {
+  std::memset(out_image, 0, sizeof(float) * n_azimuths * n_bins);
+  const float two_pi = 6.28318530717958647692f;
+  for (int64_t i = 0; i < n_points; ++i) {
+    const float x = xyi[3 * i + 0];
+    const float y = xyi[3 * i + 1];
+    const float inten = xyi[3 * i + 2];
+    const float r = std::hypot(x, y);
+    const float a = std::atan2(y, x);
+    float rel = (a - azimuth0) / azimuth_step;
+    rel -= std::floor(rel / (two_pi / azimuth_step)) * (two_pi / azimuth_step);
+    int64_t ai = (int64_t)std::lround(rel);
+    if (ai < 0 || ai >= n_azimuths) ai = ((ai % n_azimuths) + n_azimuths) % n_azimuths;
+    const int64_t ri = (int64_t)std::floor((r - r0) / bin_width);
+    if (ri < 0 || ri >= n_bins) continue;
+    float* cell = &out_image[ai * n_bins + ri];
+    if (inten > *cell) *cell = inten;
+  }
+}
+
+namespace {
+
+// One Bresenham pass over the dominant axis
+// (mirror of HierarchicalMap::bresenham2D, ndt_hierarchical_map.cpp:126-149).
+inline void bresenham2d(int32_t* grid, int64_t n_cells,
+                        uint64_t abs_da, uint64_t abs_db, int64_t error_b,
+                        int64_t offset_a, int64_t offset_b, uint64_t offset,
+                        uint64_t max_length) {
+  const uint64_t end = std::min<uint64_t>(max_length, abs_da);
+  for (uint64_t i = 0; i < end; ++i) {
+    if (offset < (uint64_t)n_cells) {
+      grid[offset]--;  // free-space update
+    } else {
+      return;  // out of map bounds
+    }
+    offset += offset_a;
+    error_b += abs_db;
+    if ((uint64_t)error_b >= abs_da) {
+      offset += offset_b;
+      error_b -= abs_da;
+    }
+  }
+  if (offset < (uint64_t)n_cells) {
+    grid[offset] += 2;  // occupied update
+  }
+}
+
+}  // namespace
+
+// Trace n rays into an (H x W) int32 counting grid with resolution res.
+// origins: (n, 3) sensor poses [x, y, theta] in the grid frame; rays leave at
+// pose theta + beam angle with the given ranges (matching
+// HierarchicalMap::raytraceLine, ndt_hierarchical_map.cpp:87-124).
+void bresenham_raytrace(int32_t* grid, int64_t H, int64_t W, float res,
+                        const float* origins, const float* angles,
+                        const float* ranges, const uint8_t* valid,
+                        int64_t n_rays) {
+  const int64_t n_cells = H * W;
+  for (int64_t k = 0; k < n_rays; ++k) {
+    if (!valid[k]) continue;
+    const float ox = origins[3 * k + 0];
+    const float oy = origins[3 * k + 1];
+    const float th = origins[3 * k + 2] + angles[k];
+    const float r = ranges[k];
+    const float ex = ox + std::cos(th) * r;
+    const float ey = oy + std::sin(th) * r;
+
+    const int64_t dx = (int64_t)((ex - ox) / res);
+    const int64_t dy = (int64_t)((ey - oy) / res);
+    const uint64_t x0 = (uint64_t)(ox / res + W / 2);
+    const uint64_t y0 = (uint64_t)(oy / res + H / 2);
+
+    const uint64_t abs_dx = std::llabs(dx);
+    const uint64_t abs_dy = std::llabs(dy);
+    const int64_t offset_dx = (dx > 0) - (dx < 0);
+    const int64_t offset_dy = ((dy > 0) - (dy < 0)) * W;
+    const uint64_t offset = y0 * W + x0;
+
+    const double dist = std::hypot((double)dx, (double)dy);
+    const double max_len_cells = (2.0 * r) / res;  // local_fuser.cpp:313
+    const double scale = (dist == 0.0) ? 1.0 : std::min(1.0, max_len_cells / dist);
+
+    if (abs_dx >= abs_dy) {
+      bresenham2d(grid, n_cells, abs_dx, abs_dy, abs_dx / 2, offset_dx,
+                  offset_dy, offset, (uint64_t)(scale * abs_dx));
+    } else {
+      bresenham2d(grid, n_cells, abs_dy, abs_dx, abs_dy / 2, offset_dy,
+                  offset_dx, offset, (uint64_t)(scale * abs_dy));
+    }
+  }
+}
+
+}  // extern "C"

@@ -199,6 +199,11 @@ class LocalFuserConfig:
     use_intensity_in_loop_closure: bool = True
     use_scan_context_as_loop_closure: bool = True
     compute_dfs_loop_closure: bool = False
+    # TPU extension (no reference counterpart): run the batched CSM global
+    # search (``global_grid_search``) to pre-align ScanContext candidates
+    # before GNC refinement.  Widens the loop-closure convergence basin from
+    # ~1-2 m to the CSM window at the cost of one batched scoring pass.
+    csm_prealign_loops: bool = False
     max_data_association_mahalanobis_dist: float = 0.5
     loop_sqrt_information: tuple = ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 0.1))
     # Odometry edge sqrt-information, fixed in the reference

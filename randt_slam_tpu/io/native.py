@@ -1,0 +1,151 @@
+"""ctypes bindings for the native host-side runtime (``native/``).
+
+Compiles ``librandt_native.so`` on first use (g++, no external deps) and
+exposes:
+  * :func:`pack_polar_image` — point-cloud -> polar-image conversion, the
+    data-loader hot path for replaying real point-cloud exports,
+  * :func:`bresenham_raytrace` — the reference's exact integer Bresenham
+    counting-grid update (golden oracle for the device DDA raytracer,
+    host-side OGM export).
+
+Falls back to numpy implementations if no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "librandt_native.so")
+_lock = threading.Lock()
+_lib = None
+_lib_failed = False
+
+
+def _load():
+    global _lib, _lib_failed
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        try:
+            if not os.path.exists(_LIB_PATH):
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR, "librandt_native.so"],
+                    check=True, capture_output=True,
+                )
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.pack_polar_image.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_float, ctypes.c_float, ctypes.c_int64,
+                ctypes.c_float, ctypes.c_float, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float),
+            ]
+            lib.bresenham_raytrace.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_float,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64,
+            ]
+            _lib = lib
+        except Exception:
+            _lib_failed = True
+        return _lib
+
+
+def have_native() -> bool:
+    return _load() is not None
+
+
+def _fptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def pack_polar_image(points_xyi, azimuth0, azimuth_step, n_azimuths,
+                     r0, bin_width, n_bins):
+    """(n, 3) float32 [x, y, intensity] -> (A, R) float32 polar image."""
+    pts = np.ascontiguousarray(points_xyi, np.float32)
+    lib = _load()
+    if lib is not None:
+        out = np.zeros((n_azimuths, n_bins), np.float32)
+        lib.pack_polar_image(
+            _fptr(pts), pts.shape[0],
+            ctypes.c_float(azimuth0), ctypes.c_float(azimuth_step), n_azimuths,
+            ctypes.c_float(r0), ctypes.c_float(bin_width), n_bins,
+            _fptr(out),
+        )
+        return out
+    # numpy fallback
+    out = np.zeros((n_azimuths, n_bins), np.float32)
+    r = np.hypot(pts[:, 0], pts[:, 1])
+    a = np.arctan2(pts[:, 1], pts[:, 0])
+    ai = np.rint((a - azimuth0) / azimuth_step).astype(np.int64) % n_azimuths
+    ri = np.floor((r - r0) / bin_width).astype(np.int64)
+    ok = (ri >= 0) & (ri < n_bins)
+    np.maximum.at(out, (ai[ok], ri[ok]), pts[ok, 2])
+    return out
+
+
+def bresenham_raytrace(counts, poses, angles, ranges, valid, res):
+    """Reference-exact Bresenham counting-grid update (in place semantics on a
+    copy).  counts: (H, W) int32; poses: (n, 3); returns updated counts."""
+    out = np.ascontiguousarray(counts, np.int32).copy()
+    poses = np.ascontiguousarray(poses, np.float32)
+    angles = np.ascontiguousarray(angles, np.float32)
+    ranges = np.ascontiguousarray(ranges, np.float32)
+    valid = np.ascontiguousarray(valid, np.uint8)
+    lib = _load()
+    if lib is not None:
+        lib.bresenham_raytrace(
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out.shape[0], out.shape[1], ctypes.c_float(res),
+            _fptr(poses), _fptr(angles), _fptr(ranges),
+            valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(angles),
+        )
+        return out
+    # numpy fallback: per-ray python Bresenham (slow; tests only)
+    H, W = out.shape
+    for k in range(len(angles)):
+        if not valid[k]:
+            continue
+        ox, oy, th0 = poses[k]
+        th = th0 + angles[k]
+        r = ranges[k]
+        ex, ey = ox + np.cos(th) * r, oy + np.sin(th) * r
+        dx = int((ex - ox) / res)
+        dy = int((ey - oy) / res)
+        x0 = int(ox / res + W // 2)
+        y0 = int(oy / res + H // 2)
+        n = max(abs(dx), abs(dy))
+        offset = y0 * W + x0
+        if n == 0:
+            if 0 <= offset < H * W:
+                out.flat[offset] += 2
+            continue
+        abs_da, abs_db = max(abs(dx), abs(dy)), min(abs(dx), abs(dy))
+        if abs(dx) >= abs(dy):
+            off_a, off_b = int(np.sign(dx)), int(np.sign(dy)) * W
+        else:
+            off_a, off_b = int(np.sign(dy)) * W, int(np.sign(dx))
+        err = abs_da // 2
+        for _ in range(abs_da):
+            if 0 <= offset < H * W:
+                out.flat[offset] -= 1
+            else:
+                break
+            offset += off_a
+            err += abs_db
+            if err >= abs_da:
+                offset += off_b
+                err -= abs_da
+        else:
+            if 0 <= offset < H * W:
+                out.flat[offset] += 2
+    return out

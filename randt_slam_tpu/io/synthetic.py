@@ -70,13 +70,14 @@ def make_world(rng, trajectory=None, extent=220.0, min_refl=90.0, max_refl=180.0
 
 
 def make_trajectory(rng, n_frames, dt=0.25, speed=4.0, yaw_rate_scale=0.15,
-                    loop=False):
-    """Smooth random drive; ``loop=True`` closes back near the start."""
+                    loop=False, laps=1.25):
+    """Smooth random drive; ``loop=True`` drives ``laps`` circles so later
+    frames re-traverse the first lap's path (same-lane revisits, as in the
+    Oxford sequences the reference evaluates on)."""
     if loop:
-        # Circle with perturbations: guarantees revisiting the start area.
         total = n_frames * dt
-        omega = 2.0 * np.pi / total
-        yaw_rates = omega + rng.normal(0, 0.01, n_frames)
+        omega = 2.0 * np.pi * laps / total
+        yaw_rates = np.full(n_frames, omega)
     else:
         yaw_rates = np.zeros(n_frames)
         w = 0.0

@@ -1,0 +1,198 @@
+"""Batched loop-closure detection pass (phase B of the offline pipeline).
+
+Re-architecture of ``LocalFuser::detectLoopClosures`` (``RS/src/local_fuser/
+local_fuser.cpp:318-416``).  The reference processes a queue of keyframes one
+at a time on a timer thread; offline, loop edges never influence odometry
+before the single final pose-graph solve (``ndt_slam.cpp:124,176``), so the
+whole search runs as ONE batched pass after odometry:
+
+  1. recompute every keyframe's filtered scan + NDT cells + ScanContext
+     descriptor from the raw frames (vmap over keyframes, chunked),
+  2. ScanContext retrieval for every query node at once (matmul + top-k with
+     the same causal/num_exclude_recent masking the incremental kd-tree
+     enforced),
+  3. GNC NDT refinement of each accepted candidate against the stored
+     (compacted) submap — vmapped ``estimate_loop``,
+  4. Cauchy-Schwarz divergence gate (pose-invariant self-terms cached per
+     submap and per scan),
+  5. loop edges for the pose graph.
+
+Per ``local_fuser.cpp:325`` matches inside the query's own submap are
+rejected, and only non-root keyframe nodes query (only they are pushed to
+``_next_maps_to_search_loop``, :221).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..geometry import compose, inverse
+from ..ndt import cells as C
+from ..ndt import divergence as D
+from ..pipeline import frontend as F
+from ..registration import matcher
+from . import scancontext as SC
+
+
+@dataclasses.dataclass
+class LoopResult:
+    edge_begin: np.ndarray   # (L,) int — root node of the matched submap
+    edge_end: np.ndarray     # (L,) int — query node
+    edge_trans: np.ndarray   # (L, 3)
+    edge_sqrt_information: np.ndarray  # (L, 3, 3)
+    # diagnostics
+    n_sc_candidates: int
+    n_accepted: int
+    cs_divergences: np.ndarray
+
+
+def _keyframe_features(cfg: SlamConfig, frames, node_frames, sensor_to_base,
+                       chunk=64):
+    """Recompute scan NDT cells + SC descriptors for the given frame indices.
+
+    Returns (mean, cov, valid, stats, descriptors, ring_keys) stacked (N, ...).
+    The SC descriptor uses the SENSOR-frame filtered returns, matching the
+    reference's use of the preprocessor debug cloud
+    (``local_fuser.h:139-141`` -> ``makeAndSaveScancontextAndKeys``).
+    """
+    def one(idx):
+        fr = jax.tree.map(lambda x: x[idx], frames)
+        scan, filt = F.build_scan_cells(cfg, fr, sensor_to_base)
+        desc = SC.make_descriptor(
+            filt.polar, filt.points[:, 2], filt.mask, cfg.scan_context
+        )
+        return scan.mean, scan.cov, scan.valid, scan.stats, desc
+
+    fn = jax.jit(jax.vmap(one))
+    outs = []
+    node_frames = jnp.asarray(node_frames, jnp.int32)
+    for lo in range(0, len(node_frames), chunk):
+        outs.append(fn(node_frames[lo:lo + chunk]))
+    mean, cov, valid, stats, desc = jax.tree.map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *outs
+    )
+    rk = jax.vmap(SC.ring_key)(desc)
+    return mean, cov, valid, stats, desc, rk
+
+
+def detect_loops(
+    cfg: SlamConfig,
+    odo,                  # pipeline.slam.OdometryResult
+    frames,               # Frame pytree of the full sequence
+    sensor_to_base=None,
+) -> LoopResult:
+    dtype = jnp.float32
+    if sensor_to_base is None:
+        sensor_to_base = jnp.zeros(3, dtype)
+    sc_cfg = cfg.scan_context
+    lcfg = cfg.local_fuser
+
+    N = len(odo.node_id)
+    mean, cov, valid, stats, desc, ring_keys = _keyframe_features(
+        cfg, frames, odo.node_frame, sensor_to_base
+    )
+
+    positions = jnp.asarray(odo.node_pose[:, :2], dtype)
+    distances = jnp.asarray(odo.node_traversed, dtype)
+    node_submap = jnp.asarray(odo.node_submap, jnp.int32)
+
+    # ---- step 2: ScanContext retrieval for all queries ---------------------
+    query_ids = np.nonzero(~odo.node_is_root)[0]
+    detect_one = jax.jit(
+        lambda q: SC.detect(q, desc, ring_keys, positions, distances,
+                            jnp.int32(N), sc_cfg)
+    )
+    cands = jax.vmap(
+        lambda q: SC.detect(q, desc, ring_keys, positions, distances,
+                            jnp.int32(N), sc_cfg)
+    )(jnp.asarray(query_ids, jnp.int32))
+    match_id = np.asarray(cands.match_id)
+    yaw = np.asarray(cands.yaw_rad)
+
+    found = match_id >= 0
+    # reject same-submap matches (``local_fuser.cpp:325``)
+    same_submap = np.asarray(node_submap)[query_ids] == np.where(
+        found, np.asarray(node_submap)[np.maximum(match_id, 0)], -1
+    )
+    found = found & ~same_submap
+    sel = np.nonzero(found)[0]
+    n_sc = int(len(sel))
+    if n_sc == 0:
+        return LoopResult(
+            edge_begin=np.zeros(0, np.int64), edge_end=np.zeros(0, np.int64),
+            edge_trans=np.zeros((0, 3)), edge_sqrt_information=np.zeros((0, 3, 3)),
+            n_sc_candidates=0, n_accepted=0, cs_divergences=np.zeros(0),
+        )
+
+    q_nodes = query_ids[sel]                    # query node ids
+    m_nodes = match_id[sel]                     # matched node ids
+    m_submaps = np.asarray(node_submap)[m_nodes]
+    yaw_sel = yaw[sel]
+
+    # ---- step 3: initial guesses + batched GNC refinement -----------------
+    root_nodes = odo.submap_root[m_submaps]
+    root_pose = jnp.asarray(odo.node_pose[root_nodes], dtype)
+    match_pose = jnp.asarray(odo.node_pose[m_nodes], dtype)
+    yaw_pose = jnp.stack(
+        [jnp.zeros(len(sel), dtype), jnp.zeros(len(sel), dtype),
+         -jnp.asarray(yaw_sel, dtype)], axis=-1
+    )
+    # submap_root^-1 * match_pose * Rz(-yaw)  (``local_fuser.cpp:329-333``)
+    init_guess = compose(compose(inverse(root_pose), match_pose), yaw_pose)
+
+    # fixed submap cells (gathered per candidate from the store)
+    sub_idx = jnp.asarray(m_submaps, jnp.int32)
+    f_stats = C.CellStats(
+        n=odo.submap_cells_n[sub_idx],
+        s=odo.submap_cells_s[sub_idx],
+        ss=odo.submap_cells_ss[sub_idx],
+    )
+    cc = cfg.ndt_map.cell
+    f_mean, f_cov = C.mean_cov(f_stats, cc.eig_floor_ratio, cc.intensity_var_jitter)
+    f_valid = C.valid_mask(f_stats, cfg.ndt_map.min_points_per_cell)
+
+    q_idx = jnp.asarray(q_nodes, jnp.int32)
+    m_mean = mean[q_idx]
+    m_cov = cov[q_idx]
+    m_valid = valid[q_idx]
+
+    if lcfg.csm_prealign_loops:
+        presearch = jax.jit(jax.vmap(partial(matcher.global_grid_search, cfg)))
+        init_guess, _ = presearch(
+            init_guess, f_mean, f_cov, f_valid, m_mean, m_cov, m_valid
+        )
+
+    refine = jax.jit(jax.vmap(partial(matcher.estimate_loop, cfg)))
+    est = refine(init_guess, f_mean, f_cov, f_valid, m_mean, m_cov, m_valid)
+
+    # ---- step 4: CS-divergence gate (``local_fuser.cpp:338-340``) ----------
+    def gate(pose, fm, fc, fv, mm, mc, mv):
+        mm2, mc2 = matcher.transform_mean_cov(pose, mm, mc)
+        return D.cs_divergence(fm, fc, fv, mm2, mc2, mv)
+
+    cs = jax.jit(jax.vmap(gate))(
+        est.pose, f_mean, f_cov, f_valid, m_mean, m_cov, m_valid
+    )
+    cs = np.asarray(cs)
+    accept = cs < lcfg.loop_closure_max_cs_divergence
+
+    # ---- step 5: loop edges -------------------------------------------------
+    sqrtI = lcfg.loop_closure_weight * np.asarray(
+        lcfg.loop_sqrt_information, np.float64
+    )
+    keep = np.nonzero(accept)[0]
+    return LoopResult(
+        edge_begin=np.asarray(root_nodes)[keep],
+        edge_end=q_nodes[keep],
+        edge_trans=np.asarray(est.pose)[keep],
+        edge_sqrt_information=np.broadcast_to(sqrtI, (len(keep), 3, 3)).copy(),
+        n_sc_candidates=n_sc,
+        n_accepted=int(len(keep)),
+        cs_divergences=cs,
+    )

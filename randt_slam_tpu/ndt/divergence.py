@@ -22,12 +22,24 @@ from . import cells as C
 _DET_GATE = 1e-5
 
 
+def _safe_cells(mean, cov, valid):
+    """Replace invalid (padded) cells with benign values so masked terms never
+    produce inf/NaN through exp/log (inf * 0 == NaN)."""
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=cov.dtype), cov.shape)
+    v = valid[..., None]
+    return jnp.where(v, mean, 0.0), jnp.where(v[..., None], cov, eye)
+
+
 def _overlap(mu_a, cov_a, mu_b, cov_b):
-    """Pairwise Gaussian overlap g = 0.5/sqrt(pi^2 det(S)) exp(-0.5 d^T S^-1 d)."""
+    """Pairwise Gaussian overlap g = 0.5/sqrt(pi^2 det(S)) exp(-0.5 d^T S^-1 d).
+
+    The Mahalanobis exponent is clamped to >= 0 (it is for PSD covariances;
+    degenerate float32 cells can go indefinite) and bounded to avoid overflow.
+    """
     d = mu_a - mu_b
     S = cov_a + cov_b
     sol = C.solve3(S, d)
-    expo = jnp.einsum("...i,...i->...", d, sol)
+    expo = jnp.clip(jnp.einsum("...i,...i->...", d, sol), 0.0, 120.0)
     det = jnp.maximum(C.det3(S), 1e-30)
     return 0.5 / jnp.sqrt(jnp.pi * jnp.pi * det) * jnp.exp(-0.5 * expo)
 
@@ -39,6 +51,8 @@ def interaction_term(f_mean, f_cov, f_valid, m_mean, m_cov, m_valid):
     loop only, ``ndt_map.cpp:55``).
     """
     f_ok = f_valid & (C.det3(f_cov) >= _DET_GATE)
+    f_mean, f_cov = _safe_cells(f_mean, f_cov, f_ok)
+    m_mean, m_cov = _safe_cells(m_mean, m_cov, m_valid)
     g = _overlap(
         f_mean[:, None, :], f_cov[:, None], m_mean[None, :, :], m_cov[None, :]
     )
@@ -53,6 +67,7 @@ def self_term(mean, cov, valid):
     ok = valid & (C.det3(cov) >= _DET_GATE)
     det = jnp.maximum(C.det3(cov), 1e-30)
     diag = jnp.sum(jnp.where(ok, jnp.sqrt(1.0 / det) / (2.0 * jnp.pi), 0.0))
+    mean, cov = _safe_cells(mean, cov, ok)
     g = _overlap(mean[:, None, :], cov[:, None], mean[None, :, :], cov[None, :])
     n = mean.shape[0]
     lower = jnp.tril(jnp.ones((n, n), bool), k=-1)

@@ -102,6 +102,71 @@ def _unstack_outputs(cfg: SlamConfig, outs: F.FrameOutput) -> dict:
     return {**node, **edge}
 
 
+@dataclasses.dataclass
+class SlamResult:
+    odometry: OdometryResult
+    loops: object                 # loops.detector.LoopResult
+    node_pose_optimized: np.ndarray  # (N, 3) after pose-graph optimization
+    node_stamp: np.ndarray
+    node_frame: np.ndarray
+    submap_origin_optimized: np.ndarray  # (NS, 3) re-anchored submap origins
+    pgo_cost: float
+    pgo_iterations: int
+
+
+def run_slam(
+    cfg: SlamConfig,
+    frames: F.Frame,
+    sensor_to_base=None,
+    initial_pose=None,
+    use_scan: bool = True,
+) -> SlamResult:
+    """Full offline SLAM: odometry, batched loop closure, one final
+    pose-graph solve + submap re-anchoring (``ndt_slam.cpp:94-209`` offline
+    semantics: loop search per frame, PGO once at bag end)."""
+    from ..graph import pose_graph as PG
+    from ..loops import detector
+
+    odo = run_odometry(cfg, frames, sensor_to_base=sensor_to_base,
+                       initial_pose=initial_pose, use_scan=use_scan)
+    loops = detector.detect_loops(cfg, odo, frames, sensor_to_base)
+
+    # Assemble the pose graph: odometry edges + loop edges.
+    eb = np.concatenate([odo.edge_begin, loops.edge_begin]).astype(np.int32)
+    ee = np.concatenate([odo.edge_end, loops.edge_end]).astype(np.int32)
+    et = np.concatenate([odo.edge_trans, loops.edge_trans]).astype(np.float32)
+    ei = np.concatenate(
+        [odo.edge_sqrt_information, loops.edge_sqrt_information]
+    ).astype(np.float32)
+    g = PG.PoseGraph(
+        poses=jnp.asarray(odo.node_pose, jnp.float32),
+        id_begin=jnp.asarray(eb),
+        id_end=jnp.asarray(ee),
+        trans=jnp.asarray(et),
+        sqrt_information=jnp.asarray(ei),
+        valid=jnp.ones(len(eb), bool),
+    )
+    opt_poses, info = PG.optimize(g, cfg.global_fuser)
+    opt_poses = np.asarray(opt_poses)
+
+    # Submap re-anchoring (``LocalFuser::updateSubmaps``): each submap origin
+    # moves to its root node's optimized pose.
+    n_sub = odo.n_submaps
+    new_origin = odo.submap_origin.copy()
+    new_origin[:n_sub] = opt_poses[odo.submap_root[:n_sub]]
+
+    return SlamResult(
+        odometry=odo,
+        loops=loops,
+        node_pose_optimized=opt_poses,
+        node_stamp=odo.node_stamp,
+        node_frame=odo.node_frame,
+        submap_origin_optimized=new_origin,
+        pgo_cost=float(info["cost"]),
+        pgo_iterations=int(info["iterations"]),
+    )
+
+
 def run_odometry(
     cfg: SlamConfig,
     frames: F.Frame,

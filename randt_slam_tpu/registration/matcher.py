@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SlamConfig
-from ..geometry import normalize_angle, rotmat
+from ..geometry import compose, normalize_angle, rotmat
 from ..ndt import grid as G
 from . import residuals as R
 from . import solver
@@ -254,6 +254,95 @@ def estimate_window(
         cost=res.cost,
         n_residuals=res.n_ndt_valid,
     )
+
+
+def global_grid_search(
+    cfg: SlamConfig,
+    init_pose,
+    f_mean, f_cov, f_valid,
+    m_mean, m_cov, m_valid,
+    search_window_linear=None,
+    search_window_angular=None,
+    beam_width: int = 16,
+):
+    """Correlative-scan-matching global search
+    (``Matcher::estimateTransformGlobalBNB``, ``ndt_matcher.cpp:495-608``).
+
+    The reference walks a work queue of (pose, level) tuples, pruning by a
+    cost threshold.  The TPU build scores the ENTIRE coarsest grid as one
+    batch, then runs ``csm_n_iter`` refinement levels keeping the
+    ``beam_width`` best candidates and expanding each into its 3x3x3
+    half-step neighborhood — a dense beam search covering the same candidate
+    set with fixed shapes.  Scoring matches the reference: robust Barron cost
+    (no GNC, :517) averaged over residual pairs, with association made ONCE
+    at the center pose (:520).
+    """
+    mcfg = cfg.matcher
+    win_l = mcfg.csm_window_linear if search_window_linear is None else min(
+        search_window_linear, mcfg.csm_window_linear)
+    win_a = mcfg.csm_window_angular if search_window_angular is None else min(
+        search_window_angular, mcfg.csm_window_angular)
+    lin_step = mcfg.csm_linear_step
+    ang_step = float(np.arccos(
+        1.0 - (lin_step * lin_step) / (2.0 * mcfg.csm_max_px_accurate_range ** 2)
+    ))
+    n_iter = mcfg.csm_n_iter
+    K = 4  # fixed neighbor count of the reference's CSM association (:520)
+
+    q_mu, q_cov = transform_mean_cov(init_pose, m_mean, m_cov)
+    # Association happens once at the window center; the cutoff must cover
+    # cells reachable anywhere inside the search window.
+    cutoff = (cfg.ndt_map.nn_window_radius + 0.5) * cfg.ndt_map.resolution
+    cutoff = max(cutoff, 0.5 * win_l + cfg.ndt_map.resolution)
+    assoc = G.allpairs_neighbors(
+        f_mean, f_cov, f_valid, q_mu, q_cov, m_valid, K, cutoff,
+        use_distribution_metric=mcfg.lookup_distribution,
+    )
+    pair_valid = assoc.valid
+    eye3 = jnp.eye(3, dtype=m_cov.dtype)
+    safe_mean = jnp.where(m_valid[..., None], m_mean, 0.0)
+    safe_cov = jnp.where(m_valid[..., None, None], m_cov, eye3)
+    m_mu_b = jnp.broadcast_to(safe_mean[:, None, :], assoc.mean.shape)
+    m_cov_b = jnp.broadcast_to(safe_cov[:, None, :, :], assoc.cov.shape)
+    n_pairs = jnp.maximum(jnp.sum(pair_valid), 1)
+
+    from . import barron
+
+    def score(poses):  # (B, 3) -> (B,) mean robust cost
+        r = R.ndt_residual(
+            poses[:, None, None, :], m_mu_b[None], m_cov_b[None],
+            assoc.mean[None], assoc.cov[None],
+        )
+        rho = barron.rho(r * r, mcfg.loss_function_scale,
+                         mcfg.loss_function_convexity, 1.0)
+        c = jnp.sum(jnp.where(pair_valid[None], rho, 0.0), axis=(1, 2))
+        return 0.5 * c / n_pairs  # Ceres cost convention (0.5 sum rho)
+
+    # coarsest level grid around init_pose
+    step0 = (2.0 ** (n_iter - 1)) * lin_step
+    nx = max(1, int(win_l / step0)) + 1
+    na = max(1, int(win_a / ang_step))
+    txs = jnp.linspace(-win_l / 2.0, win_l / 2.0, nx)
+    angs = -win_a / 2.0 + jnp.arange(na) * ang_step
+    TX, TY, AA = jnp.meshgrid(txs, txs, angs, indexing="ij")
+    local = jnp.stack([TX.reshape(-1), TY.reshape(-1), AA.reshape(-1)], axis=-1)
+    cands = compose(init_pose[None, :], local)
+    costs = score(cands)
+
+    offs = jnp.asarray(
+        [[dx, dy, da] for dx in (-1.0, 0.0, 1.0) for dy in (-1.0, 0.0, 1.0)
+         for da in (-1.0, 0.0, 1.0)]
+    )
+    for level in range(1, n_iter + 1):
+        top_c, top_i = jax.lax.top_k(-costs, min(beam_width, costs.shape[0]))
+        best = cands[top_i]
+        step = (2.0 ** max(n_iter - 1 - level, -1)) * lin_step
+        local = offs * jnp.asarray([step, step, ang_step])
+        cands = compose(best[:, None, :], local[None, :, :]).reshape(-1, 3)
+        costs = score(cands)
+
+    best_i = jnp.argmin(costs)
+    return cands[best_i], costs[best_i]
 
 
 class LoopEstimate(NamedTuple):

@@ -100,6 +100,7 @@ def ndt_residual_sq(pose, m_mean, m_cov, f_mean, f_cov):
     dx = c * mx - s * my + pose[..., 0] - f_mean[..., 0]
     dy = s * mx + c * my + pose[..., 1] - f_mean[..., 1]
     di = mi - f_mean[..., 2]
+    dx, dy, di = jnp.broadcast_arrays(dx, dy, di)
     d = jnp.stack([dx, dy, di], axis=-1)
 
     # R3 cov_m R3^T, with R3 = [[c,-s,0],[s,c,0],[0,0,1]], expanded by hand to
@@ -112,11 +113,15 @@ def ndt_residual_sq(pose, m_mean, m_cov, f_mean, f_cov):
     r11 = s * (s * a + c * b) + c * (s * b + c * cc)
     r02 = c * e - s * f
     r12 = s * e + c * f
+    s00, s01, s02, s11, s12, s22 = jnp.broadcast_arrays(
+        r00 + f_cov[..., 0, 0], r01 + f_cov[..., 0, 1], r02 + f_cov[..., 0, 2],
+        r11 + f_cov[..., 1, 1], r12 + f_cov[..., 1, 2], g + f_cov[..., 2, 2],
+    )
     S = jnp.stack(
         [
-            jnp.stack([r00 + f_cov[..., 0, 0], r01 + f_cov[..., 0, 1], r02 + f_cov[..., 0, 2]], axis=-1),
-            jnp.stack([r01 + f_cov[..., 1, 0], r11 + f_cov[..., 1, 1], r12 + f_cov[..., 1, 2]], axis=-1),
-            jnp.stack([r02 + f_cov[..., 2, 0], r12 + f_cov[..., 2, 1], g + f_cov[..., 2, 2]], axis=-1),
+            jnp.stack([s00, s01, s02], axis=-1),
+            jnp.stack([s01, s11, s12], axis=-1),
+            jnp.stack([s02, s12, s22], axis=-1),
         ],
         axis=-2,
     )
