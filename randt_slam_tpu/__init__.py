@@ -7,6 +7,23 @@ Levenberg-Marquardt smoother with Barron-loss graduated non-convexity,
 vectorized ScanContext loop closure, and batched pose-graph optimization.
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: pipeline-step compiles run minutes on the
+# TPU backend; caching them to disk makes every re-run (tests, bench, CLI)
+# start in seconds.  Opt out with RANDT_NO_COMPILE_CACHE=1.
+if not _os.environ.get("RANDT_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),
+                      ".jax_cache"),
+    )
+    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+
+    import jax as _jax  # set programmatically too, in case jax was imported
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from . import config, geometry  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,96 @@
+"""ROS-free visualization exports.
+
+Replaces the reference's visualization surface (``ndt_msgs`` wire format +
+the RViz marker node, SURVEY.md §2.1 #19-20):
+
+  * :func:`export_normal_distributions` — the ``ndt_msgs/NormalDistributions``
+    equivalent (means, covariances, max intensity) as npz/JSON, built from a
+    cell batch exactly like ``NDTSlam::createVisualizationMsg``
+    (``ndt_slam.cpp:370-393``).
+  * :func:`ellipse_parameters` — the covariance -> ellipse conversion the
+    RViz visualizer performs (``rviz_visualization.cpp:21-80``): axis lengths
+    = 3 * sqrt(eigenvalue), orientation from the eigenvectors, rainbow color
+    by mean intensity.
+  * :func:`write_pgm` — occupancy grids as portable graymaps.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+
+def export_normal_distributions(path, mean, cov, valid, max_intensity=None):
+    """Save an NDT map snapshot: fields mirror ``ndt_msgs/NormalDistribution``
+    (mean.{x,y,i}; covariance.{xx,xy,xi,yy,yi,ii}; mean_intensity)."""
+    mean = np.asarray(mean)[np.asarray(valid)]
+    cov = np.asarray(cov)[np.asarray(valid)]
+    rec = {
+        "mean_x": mean[:, 0], "mean_y": mean[:, 1], "mean_i": mean[:, 2],
+        "cov_xx": cov[:, 0, 0], "cov_xy": cov[:, 0, 1], "cov_xi": cov[:, 0, 2],
+        "cov_yy": cov[:, 1, 1], "cov_yi": cov[:, 1, 2], "cov_ii": cov[:, 2, 2],
+    }
+    if max_intensity is not None:
+        rec["mean_intensity"] = (
+            np.asarray(max_intensity)[np.asarray(valid)] / 100.0
+        )
+    np.savez_compressed(path, **rec)
+
+
+def ellipse_parameters(cov2, n_sigma=3.0):
+    """(..., 2, 2) covariances -> (half_axis_a, half_axis_b, angle_rad),
+    matching the marker scaling of ``rviz_visualization.cpp:60-76``."""
+    cov2 = np.asarray(cov2)
+    a = cov2[..., 0, 0]
+    b = cov2[..., 0, 1]
+    d = cov2[..., 1, 1]
+    tr, det = a + d, a * d - b * b
+    root = np.sqrt(np.maximum(tr * tr / 4 - det, 0.0))
+    lam1 = tr / 2 + root
+    lam2 = tr / 2 - root
+    angle = np.arctan2(lam1 - a, b + 1e-30)
+    return n_sigma * np.sqrt(np.maximum(lam1, 0)), \
+        n_sigma * np.sqrt(np.maximum(lam2, 0)), angle
+
+
+def rainbow_color(intensity, lo=0.0, hi=1.0):
+    """Rainbow colormap by normalized intensity
+    (``rviz_visualization.cpp:145-171`` getRainbowColor)."""
+    x = np.clip((np.asarray(intensity) - lo) / max(hi - lo, 1e-9), 0.0, 1.0)
+    h = (1.0 - x) * 5.0 + 1.0
+    i = np.floor(h).astype(int)
+    f = h - i
+    f = np.where(i % 2 == 0, 1.0 - f, f)
+    n = 1.0 - f
+    r = np.select([i <= 1, i == 2, i == 3, i == 4, i >= 5],
+                  [n, 0.0, 0.0, n, 1.0])
+    g = np.select([i <= 1, i == 2, i == 3, i == 4, i >= 5],
+                  [0.0, n, 1.0, 1.0, n])
+    b = np.select([i <= 1, i == 2, i == 3, i == 4, i >= 5],
+                  [1.0, 1.0, n, 0.0, 0.0])
+    return np.stack([r, g, b], axis=-1)
+
+
+def write_pgm(path, grid, lo=-1.0, hi=100.0):
+    """Occupancy grid (values in [lo, hi], -1 = unknown) -> 8-bit PGM."""
+    g = np.asarray(grid, np.float32)
+    img = np.where(
+        g < 0, 127, (255 * (1.0 - np.clip(g, 0, hi) / hi)).astype(np.uint8)
+    ).astype(np.uint8)
+    h, w = img.shape
+    with open(path, "wb") as f:
+        f.write(f"P5\n{w} {h}\n255\n".encode())
+        f.write(img[::-1].tobytes())  # y-up
+
+
+def export_trajectory_json(path, stamps, poses):
+    with open(path, "w") as f:
+        json.dump(
+            [
+                {"stamp": float(t), "x": float(p[0]), "y": float(p[1]),
+                 "yaw": float(p[2])}
+                for t, p in zip(np.asarray(stamps), np.asarray(poses))
+            ],
+            f,
+        )

@@ -154,7 +154,8 @@ def detect_loops(
         ss=odo.submap_cells_ss[sub_idx],
     )
     cc = cfg.ndt_map.cell
-    f_mean, f_cov = C.mean_cov(f_stats, cc.eig_floor_ratio, cc.intensity_var_jitter)
+    f_mean, f_cov = C.mean_cov(f_stats, cc.eig_floor_ratio,
+                               cc.intensity_var_jitter, use_pndt=cc.use_pndt)
     f_valid = C.valid_mask(f_stats, cfg.ndt_map.min_points_per_cell)
 
     q_idx = jnp.asarray(q_nodes, jnp.int32)

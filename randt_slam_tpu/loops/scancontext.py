@@ -165,7 +165,7 @@ def detect(
     ids = jnp.arange(N)
     eligible = (ids <= query_idx - cfg.num_exclude_recent) & (ids < n_valid)
     d2 = jnp.where(eligible, d2, jnp.inf)
-    k = cfg.num_candidates
+    k = min(cfg.num_candidates, N)  # database may be shorter than the kNN k
     neg, cand = jax.lax.top_k(-d2, k)
     cand_ok = jnp.isfinite(neg)
 

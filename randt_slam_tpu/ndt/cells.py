@@ -61,18 +61,42 @@ def zeros(shape, dtype=jnp.float32) -> CellStats:
     )
 
 
-def from_points(points, mask, segment_ids, num_segments) -> CellStats:
+def from_points(points, mask, segment_ids, num_segments,
+                polar=None, beam_cov=None) -> CellStats:
     """Accumulate masked points into cells by segment id.
 
     points: (P, 3) [x, y, intensity]; mask: (P,) bool; segment_ids: (P,) int32.
     Replaces the per-cluster moment loops of ``Cell::updateCell``
     (``ndt_cell.cpp:43-65``) with one segment-sum pass.
+
+    pNDT (``ndt_cell.cpp:68-82``): when ``polar`` (P, 2) [angle, range] and
+    ``beam_cov`` (3, 3) are given, each point's sensor-noise covariance
+    J(angle, range) beam_cov J^T is accumulated into ``ss``.  Folding it into
+    the second moment is exact: the derived covariance becomes
+    sample_cov + mean(J Sigma J^T), and rigid transforms / merges of the
+    sufficient statistics remain closed-form.
     """
     w = mask.astype(points.dtype)
     pts = points * w[:, None]
     n = jax.ops.segment_sum(w, segment_ids, num_segments=num_segments)
     s = jax.ops.segment_sum(pts, segment_ids, num_segments=num_segments)
     outer = pts[:, :, None] * points[:, None, :]
+    if polar is not None:
+        a, r = polar[:, 0], polar[:, 1]
+        sa, ca = jnp.sin(a), jnp.cos(a)
+        zero = jnp.zeros_like(a)
+        one = jnp.ones_like(a)
+        # J = [[-r sin a, cos a, 0], [r cos a, sin a, 0], [0, 0, 1]]
+        J = jnp.stack(
+            [
+                jnp.stack([-r * sa, ca, zero], axis=-1),
+                jnp.stack([r * ca, sa, zero], axis=-1),
+                jnp.stack([zero, zero, one], axis=-1),
+            ],
+            axis=-2,
+        )
+        pcov = jnp.einsum("pij,jk,plk->pil", J, jnp.asarray(beam_cov, points.dtype), J)
+        outer = outer + pcov * w[:, None, None]
     ss = jax.ops.segment_sum(outer, segment_ids, num_segments=num_segments)
     return CellStats(n=n, s=s, ss=ss)
 
@@ -141,9 +165,21 @@ def regularize_cov(cov, eig_floor_ratio=0.001, intensity_jitter=1e-6):
     return out
 
 
-def mean_cov(c: CellStats, eig_floor_ratio=0.001, intensity_jitter=1e-6):
-    """Derived (mean, regularized covariance) pair."""
-    return mean(c), regularize_cov(raw_cov(c), eig_floor_ratio, intensity_jitter)
+def mean_cov(c: CellStats, eig_floor_ratio=0.001, intensity_jitter=1e-6,
+             use_pndt=False):
+    """Derived (mean, regularized covariance) pair.
+
+    With pNDT the reference skips the eigenvalue regularization entirely
+    (``ndt_cell.cpp:102``); a tiny absolute diagonal jitter is still applied
+    for float32 solve stability (documented deviation)."""
+    mu = mean(c)
+    cov = raw_cov(c)
+    if use_pndt:
+        jit3 = jnp.asarray(
+            [intensity_jitter, intensity_jitter, intensity_jitter], cov.dtype
+        )
+        return mu, cov + jnp.diag(jit3)
+    return mu, regularize_cov(cov, eig_floor_ratio, intensity_jitter)
 
 
 def valid_mask(c: CellStats, min_points_per_cell: int):

@@ -121,7 +121,8 @@ def derive_grid_fields(grid: CellStats, min_points: int, cell_cfg):
     """Precompute (mean, regularized cov, valid) for a whole grid once per
     frame; association then only gathers."""
     mu, cov = C.mean_cov(
-        grid, cell_cfg.eig_floor_ratio, cell_cfg.intensity_var_jitter
+        grid, cell_cfg.eig_floor_ratio, cell_cfg.intensity_var_jitter,
+        use_pndt=cell_cfg.use_pndt,
     )
     return mu, cov, C.valid_mask(grid, min_points)
 

@@ -1,1 +1,1 @@
-from . import frontend, slam  # noqa: F401
+from . import frontend, slam, online  # noqa: F401

@@ -187,12 +187,18 @@ def build_scan_cells(cfg: SlamConfig, frame: Frame, sensor_to_base) -> tuple:
     )
     filt = pp.filter_scan(scan, cfg.preprocessor, sensor_to_base)
     ids, num = pp.cluster_ids(filt.points, filt.mask, cfg.preprocessor)
-    dense = C.from_points(filt.points, filt.mask, ids, num)
+    cell_cfg = cfg.ndt_map.cell
+    dense = C.from_points(
+        filt.points, filt.mask, ids, num,
+        polar=filt.polar if cell_cfg.use_pndt else None,
+        beam_cov=np.asarray(cell_cfg.beam_cov) if cell_cfg.use_pndt else None,
+    )
     stats, _ = C.compact(dense, cfg.capacity.max_scan_cells)
     mu, cov = C.mean_cov(
         stats,
-        cfg.ndt_map.cell.eig_floor_ratio,
-        cfg.ndt_map.cell.intensity_var_jitter,
+        cell_cfg.eig_floor_ratio,
+        cell_cfg.intensity_var_jitter,
+        use_pndt=cell_cfg.use_pndt,
     )
     valid = C.valid_mask(stats, cfg.ndt_map.min_points_per_cell)
     return ScanCells(stats=stats, mean=mu, cov=cov, valid=valid), filt

@@ -167,6 +167,88 @@ def run_slam(
     )
 
 
+def render_ogm(cfg: SlamConfig, result: SlamResult, frames: F.Frame,
+               sensor_to_base=None, chunk: int = 32):
+    """Occupancy-grid post-pass (``raytrace`` + ``visualizeMap`` timers,
+    ``ndt_slam.cpp:366-368,308-348``): re-extract every keyframe's
+    max-intensity beams, raytrace them into per-submap counting grids at the
+    (smoothed) node poses, fuse into the global OGM at the optimized submap
+    origins, and apply the smoothstep occupancy mapping.
+
+    Returns (global occupancy (gh, gw), counting grids (NS, sh, sw)).
+    """
+    from .. import preprocess as pp
+    from ..geometry import compose, inverse
+    from ..mapping import ogm as OGM
+    from ..mapping import raytrace as RT
+
+    dtype = jnp.float32
+    if sensor_to_base is None:
+        sensor_to_base = jnp.zeros(3, dtype)
+    odo = result.odometry
+    o = cfg.ogm
+    sh, sw = o.submap_size_y, o.submap_size_x
+    n_sub = odo.n_submaps
+
+    # beams per keyframe node (batched re-extraction)
+    def beams_of(idx):
+        fr = jax.tree.map(lambda x: x[idx], frames)
+        scan = pp.PolarScan(
+            intensity=fr.intensity, azimuths=fr.azimuths, ranges=fr.ranges,
+            azimuth_mask=fr.azimuth_mask,
+        )
+        filt = pp.filter_scan(scan, cfg.preprocessor, sensor_to_base)
+        return filt.beams, filt.beam_mask
+
+    fn = jax.jit(jax.vmap(beams_of))
+    node_frames = jnp.asarray(odo.node_frame, jnp.int32)
+    parts = [fn(node_frames[lo:lo + chunk])
+             for lo in range(0, len(node_frames), chunk)]
+    beams, beam_mask = jax.tree.map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *parts
+    )
+
+    # sensor poses in each node's submap frame (odometry-time geometry)
+    origins = jnp.asarray(odo.submap_origin[np.asarray(odo.node_submap)], dtype)
+    node_pose = jnp.asarray(odo.node_pose, dtype)
+    local = compose(inverse(origins), node_pose)
+    sensor_pose = compose(local, jnp.broadcast_to(sensor_to_base, local.shape))
+
+    trace = jax.jit(lambda counts, poses_b, beams_b, mask_b: RT.raytrace_beams(
+        counts, poses_b, beams_b, mask_b, o.resolution,
+        max_steps=min(2048, 2 * int(cfg.preprocessor.max_range / o.resolution)),
+    ))
+    A = beams.shape[1]
+    count_grids = []
+    for s in range(n_sub):
+        sel = np.nonzero(np.asarray(odo.node_submap) == s)[0]
+        counts = jnp.zeros((sh, sw), jnp.int32)
+        for i in sel:
+            poses_b = jnp.broadcast_to(sensor_pose[i], (A, 3))
+            counts = trace(counts, poses_b, beams[i], beam_mask[i])
+        count_grids.append(counts)
+    count_grids = jnp.stack(count_grids) if count_grids else jnp.zeros(
+        (0, sh, sw), jnp.int32)
+
+    # fuse at optimized origins; corner offset = -size/2 * res
+    corner = jnp.asarray(
+        [-0.5 * sw * o.resolution, -0.5 * sh * o.resolution, 0.0], dtype
+    )
+    sub_corners = compose(
+        jnp.asarray(result.submap_origin_optimized[:n_sub], dtype),
+        jnp.broadcast_to(corner, (n_sub, 3)),
+    )
+    g_corner = jnp.asarray(
+        [-0.5 * o.size_x * o.resolution, -0.5 * o.size_y * o.resolution, 0.0],
+        dtype,
+    )
+    total = OGM.fuse_submaps(
+        count_grids.astype(jnp.float32), sub_corners, o.resolution,
+        o.resolution, g_corner, o.size_y, o.size_x,
+    )
+    return np.asarray(OGM.global_occupancy(total)), np.asarray(count_grids)
+
+
 def run_odometry(
     cfg: SlamConfig,
     frames: F.Frame,

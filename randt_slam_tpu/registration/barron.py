@@ -54,6 +54,18 @@ def weight(s, scale: float, alpha: float, mu):
     return pre * exponent * jnp.power(s * times_s + 1.0, exponent - 1.0) * times_s
 
 
+def welsch_rho(s, scale: float, mu: float = 1.0):
+    """Welsch loss (``ceres_loss_functions.cpp:10-17``, present in the
+    reference but unused by default): rho(s) = b (1 - exp(-s/b)), b = mu a^2."""
+    b = mu * scale * scale
+    return b * (1.0 - jnp.exp(-s / b))
+
+
+def welsch_weight(s, scale: float, mu: float = 1.0):
+    b = mu * scale * scale
+    return jnp.exp(-s / b)
+
+
 def gnc_mu_init(max_sq_residual, scale: float, gnc_steps: int, divisor: float):
     """Initial GNC control parameter (``ndt_matcher.cpp:387-389``):
     mu = min(2 * max_r^2 / scale^2, divisor^(gnc_steps-1))."""

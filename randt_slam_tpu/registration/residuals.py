@@ -86,6 +86,16 @@ def imu_residual(s0, s1, raw_dt, rot_meas, weight_imu, weight_bias):
     return jnp.stack([r0, r1], axis=-1)
 
 
+def prior_residual(state, prior_state, sqrt_information):
+    """9-dim prior factor (``PriorFactor``, ``ceres_residuals.h:681-738``;
+    present in the reference but unused by default): whitened difference of
+    the full state (pose with angle normalization, velocities, accelerations,
+    IMU bias)."""
+    r = state - prior_state
+    r = r.at[..., TH].set(normalize_angle(r[..., TH]))
+    return jnp.einsum("ij,...j->...i", sqrt_information, r)
+
+
 def ndt_residual_sq(pose, m_mean, m_cov, f_mean, f_cov):
     """Squared intensity-augmented D2D residual.
 

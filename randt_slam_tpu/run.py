@@ -1,0 +1,178 @@
+"""Command-line SLAM driver — the ``ndt_slam_node`` equivalent, ROS-free.
+
+Offline deterministic replay (the mode behind the reference's published
+results, ``NDTSlam::initializeOffline``) over a converted ``.npz`` sequence
+or a synthetic world, with trajectory/metric/OGM exports in the formats the
+reference's external evaluation pipeline consumes (TUM + KITTI,
+``oxford-dataset.md:71-103``).
+
+Usage:
+    python -m randt_slam_tpu.run --input synthetic --frames 130 --loop \
+        --output /tmp/run1
+    python -m randt_slam_tpu.run --input seq.npz --config oxford \
+        --ref-yaml path/a.yaml path/b.yaml --output outdir --ogm
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True,
+                   help="'synthetic' or path to a converted .npz sequence")
+    p.add_argument("--config", default="oxford",
+                   choices=["oxford", "indoor", "synthetic"],
+                   help="configuration preset")
+    p.add_argument("--ref-yaml", nargs="*", default=None,
+                   help="reference-style layered YAML files (override preset)")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--frames", type=int, default=None, help="frame cap")
+    p.add_argument("--odometry-only", action="store_true",
+                   help="skip loop closure + pose-graph optimization")
+    p.add_argument("--online", action="store_true",
+                   help="incremental mode with mid-run PGO feedback")
+    p.add_argument("--ogm", action="store_true", help="render the global OGM")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--loop", action="store_true",
+                   help="synthetic: closed-loop trajectory")
+    p.add_argument("--python-loop", action="store_true",
+                   help="drive frames with a Python loop instead of lax.scan")
+    return p
+
+
+def load_config(args):
+    from . import config as CFG
+
+    if args.ref_yaml:
+        return CFG.from_reference_yaml(*args.ref_yaml)
+    if args.config == "oxford":
+        return CFG.oxford_config()
+    if args.config == "indoor":
+        return CFG.indoor_config()
+    # synthetic preset: moderate scale
+    from tests.test_odometry_e2e import small_cfg  # reuse the tuned preset
+
+    return small_cfg()
+
+
+def load_frames(args, cfg):
+    import numpy as np
+
+    from .io import oxford, synthetic
+    from .pipeline import slam
+
+    if args.input == "synthetic":
+        seq = synthetic.generate(
+            seed=args.seed, n_frames=args.frames or 120, n_azimuths=256,
+            n_bins=256, loop=args.loop,
+        )
+        frames = slam.frames_from_arrays(
+            seq.intensity, seq.azimuths, seq.ranges, seq.stamps
+        )
+        return frames, seq.gt_poses, seq.stamps
+    seq = oxford.load_npz_sequence(args.input, max_frames=args.frames)
+    frames = slam.frames_from_arrays(
+        seq.intensity, seq.azimuths, seq.ranges, seq.stamps
+    )
+    return frames, seq.gt_poses, seq.stamps
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.output, exist_ok=True)
+
+    import numpy as np
+
+    from .io import formats, viz
+    from .pipeline import slam
+    from .utils.profiling import Profiler
+
+    cfg = load_config(args)
+    frames, gt_poses, stamps = load_frames(args, cfg)
+    prof = Profiler()
+    t0 = time.perf_counter()
+
+    if args.online:
+        import jax
+        from .pipeline.online import OnlineSlam
+
+        engine = OnlineSlam(cfg)
+        T = int(frames.stamp.shape[0])
+        with prof.stage("online_total"):
+            for t in range(T):
+                fr = jax.tree.map(lambda x: x[t], frames)
+                engine.process_frame(fr)
+        odom = np.stack(engine.odom_trace)
+        node_pose = engine.trajectory()
+        node_stamp = np.asarray(engine.node_stamp)
+        node_frame = np.asarray(engine.node_frame, int)
+        n_loops = engine.n_loop_edges
+    elif args.odometry_only:
+        with prof.stage("odometry"):
+            res = slam.run_odometry(cfg, frames,
+                                    use_scan=not args.python_loop)
+        odom = res.odom_poses
+        node_pose = res.node_pose
+        node_stamp = res.node_stamp
+        node_frame = res.node_frame
+        n_loops = 0
+    else:
+        with prof.stage("slam_total"):
+            res = slam.run_slam(cfg, frames, use_scan=not args.python_loop)
+        odom = res.odometry.odom_poses
+        node_pose = res.node_pose_optimized
+        node_stamp = res.node_stamp
+        node_frame = res.node_frame
+        n_loops = res.loops.n_accepted
+        if args.ogm:
+            with prof.stage("ogm"):
+                grid, _ = slam.render_ogm(cfg, res, frames)
+            viz.write_pgm(os.path.join(args.output, "ogm.pgm"), grid)
+
+    wall = time.perf_counter() - t0
+    T = len(odom)
+
+    # exports (/ndt_odom and /randt_path equivalents)
+    formats.write_tum(os.path.join(args.output, "odom_tum.txt"), stamps, odom)
+    formats.write_kitti(os.path.join(args.output, "odom_kitti.txt"), odom)
+    formats.write_tum(os.path.join(args.output, "slam_tum.txt"),
+                      node_stamp, node_pose)
+    formats.write_kitti(os.path.join(args.output, "slam_kitti.txt"), node_pose)
+    viz.export_trajectory_json(
+        os.path.join(args.output, "trajectory.json"), node_stamp, node_pose)
+
+    metrics = {
+        "frames": T,
+        "wall_s": round(wall, 3),
+        "frames_per_second": round(T / wall, 2),
+        "n_nodes": int(len(node_pose)),
+        "n_loop_closures": int(n_loops),
+    }
+    if gt_poses is not None:
+        metrics.update({
+            "odom_ate_m": round(formats.ate(odom, gt_poses[:T]), 4),
+            "slam_ate_m": round(
+                formats.ate(node_pose, gt_poses[node_frame]), 4),
+        })
+        t_rpe, r_rpe = formats.rpe(odom, gt_poses[:T])
+        metrics["odom_rpe_m"] = round(t_rpe, 4)
+        metrics["odom_rpe_deg"] = round(r_rpe, 4)
+        kt, kr = formats.kitti_drift(odom, gt_poses[:T])
+        metrics["odom_kitti_trans_pct"] = round(kt, 4)
+        metrics["odom_kitti_rot_degp100m"] = round(kr, 4)
+    metrics["profile"] = prof.report()
+    # NaN (e.g. KITTI drift on paths shorter than 100 m) is not valid JSON
+    metrics = {k: (None if isinstance(v, float) and v != v else v)
+               for k, v in metrics.items()}
+    with open(os.path.join(args.output, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps(metrics, indent=2))
+
+
+if __name__ == "__main__":
+    main()
