@@ -122,4 +122,63 @@ void bresenham_raytrace(int32_t* grid, int64_t H, int64_t W, float res,
   }
 }
 
+// Fuse per-submap counting grids into the global counting grid — the
+// MasterMap::getOGM resampling loop (ndt_master_map.cpp:20-79): each submap
+// cell is forward-splatted with 4 anti-aliasing samples (offsets applied in
+// the submap frame, :60-63); per (target cell, submap) only the max-magnitude
+// increment counts (:65-67); increments sum across submaps (:72-77).
+//
+// submap_counts: (n_sub, sh, sw) int32; origins_rel: (n_sub, 3) pose of each
+// submap OGM origin in the global OGM-origin frame.  out: (gh*gw) float32,
+// pre-zeroed by the caller.  Scratch: caller-provided pos/neg float32 arrays
+// of gh*gw (reused across submaps to keep the memory bound flat).
+void fuse_counting_grids(const int32_t* submap_counts, int64_t n_sub,
+                         int64_t sh, int64_t sw,
+                         const float* origins_rel,
+                         float sub_res, float glob_res,
+                         int64_t gh, int64_t gw,
+                         float* pos_scratch, float* neg_scratch,
+                         float* out) {
+  const int64_t n_glob = gh * gw;
+  static const float offs[4][2] = {
+      {-0.25f, -0.25f}, {-0.25f, 0.25f}, {0.25f, -0.25f}, {0.25f, 0.25f}};
+  for (int64_t s = 0; s < n_sub; ++s) {
+    std::memset(pos_scratch, 0, sizeof(float) * n_glob);
+    std::memset(neg_scratch, 0, sizeof(float) * n_glob);
+    const int32_t* counts = submap_counts + s * sh * sw;
+    const float ox = origins_rel[3 * s + 0];
+    const float oy = origins_rel[3 * s + 1];
+    const float c = std::cos(origins_rel[3 * s + 2]);
+    const float sn = std::sin(origins_rel[3 * s + 2]);
+    for (int64_t iy = 0; iy < sh; ++iy) {
+      for (int64_t ix = 0; ix < sw; ++ix) {
+        const float v = (float)counts[iy * sw + ix];
+        if (v == 0.0f) continue;
+        const float lx = ix * sub_res;
+        const float ly = iy * sub_res;
+        for (int k = 0; k < 4; ++k) {
+          const float px = lx + offs[k][0] * glob_res;
+          const float py = ly + offs[k][1] * glob_res;
+          const float gxf = (c * px - sn * py + ox) / glob_res;
+          const float gyf = (sn * px + c * py + oy) / glob_res;
+          const int64_t gx = (int64_t)std::floor(gxf);
+          const int64_t gy = (int64_t)std::floor(gyf);
+          if (gx < 0 || gx >= gw || gy < 0 || gy >= gh) continue;
+          const int64_t t = gy * gw + gx;
+          if (v > 0.0f) {
+            if (v > pos_scratch[t]) pos_scratch[t] = v;
+          } else {
+            if (-v > neg_scratch[t]) neg_scratch[t] = -v;
+          }
+        }
+      }
+    }
+    for (int64_t t = 0; t < n_glob; ++t) {
+      const float inc =
+          (pos_scratch[t] >= neg_scratch[t]) ? pos_scratch[t] : -neg_scratch[t];
+      out[t] += inc;
+    }
+  }
+}
+
 }  // extern "C"

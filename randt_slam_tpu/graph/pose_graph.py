@@ -180,3 +180,30 @@ def optimize(
             jnp.int32(0), jnp.bool_(False))
     poses, _, cost, iters, _ = jax.lax.while_loop(cond, body, init)
     return poses, {"cost": cost, "iterations": iters}
+
+
+def recover_covariances(g: PoseGraph, poses, cfg: GlobalFuserConfig,
+                        fixed_mask=None):
+    """Marginal per-node covariance recovery — the capability that is present
+    but commented out in the reference (``global_fuser.cpp:62-87``,
+    ``ceres::Covariance`` over (pos, rot) blocks).
+
+    Returns (N, 3, 3) diagonal blocks of H^-1 at the solution; gauge-fixed
+    nodes get zeros (they are exact by definition).  Dense inverse: radar
+    pose graphs are O(10^3) nodes, so (3N)^2 stays MXU-friendly.
+    """
+    N = poses.shape[0]
+    dtype = poses.dtype
+    if fixed_mask is None:
+        fixed_mask = jnp.zeros(N, bool).at[0].set(True)
+    H, _, _ = _assemble(
+        poses, g._replace(poses=poses), cfg.use_robust_loss,
+        cfg.loss_function_scale,
+    )
+    free = (~jnp.repeat(fixed_mask, 3)).astype(dtype)
+    # gauge-fix: identity rows/cols on fixed params, small ridge elsewhere
+    Hf = H * free[:, None] * free[None, :] + jnp.diag(1.0 - free + 1e-9)
+    cov = jnp.linalg.inv(Hf)
+    blocks = cov.reshape(N, 3, N, 3)
+    diag = jnp.einsum("iaib->iab", blocks)
+    return diag * free.reshape(N, 3)[:, :, None] * free.reshape(N, 3)[:, None, :]

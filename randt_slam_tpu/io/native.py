@@ -53,6 +53,15 @@ def _load():
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
                 ctypes.c_int64,
             ]
+            lib.fuse_counting_grids.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_float, ctypes.c_float,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+            ]
             _lib = lib
         except Exception:
             _lib_failed = True
@@ -149,3 +158,51 @@ def bresenham_raytrace(counts, poses, angles, ranges, valid, res):
             if 0 <= offset < H * W:
                 out.flat[offset] += 2
     return out
+
+
+def fuse_counting_grids(submap_counts, origins_rel, sub_res, glob_res,
+                        gh, gw):
+    """Host-side MasterMap fusion (``ndt_master_map.cpp:20-79``): forward-
+    splat each submap counting grid into the global grid with the 4-sample
+    max-magnitude rule.  Returns (gh, gw) float32 summed increments.
+
+    Falls back to the device implementation's semantics in numpy when the
+    native library is unavailable.
+    """
+    sc = np.ascontiguousarray(submap_counts, np.int32)
+    org = np.ascontiguousarray(origins_rel, np.float32)
+    n_sub, sh, sw = sc.shape
+    lib = _load()
+    if lib is not None:
+        out = np.zeros(gh * gw, np.float32)
+        pos = np.empty(gh * gw, np.float32)
+        neg = np.empty(gh * gw, np.float32)
+        lib.fuse_counting_grids(
+            sc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n_sub, sh, sw, _fptr(org),
+            ctypes.c_float(sub_res), ctypes.c_float(glob_res), gh, gw,
+            _fptr(pos), _fptr(neg), _fptr(out),
+        )
+        return out.reshape(gh, gw)
+    # numpy fallback (vectorized forward splat)
+    out = np.zeros(gh * gw, np.float32)
+    ys, xs = np.meshgrid(np.arange(sh), np.arange(sw), indexing="ij")
+    local = np.stack([xs * sub_res, ys * sub_res], -1).reshape(-1, 2)
+    offs = np.asarray([[-0.25, -0.25], [-0.25, 0.25],
+                       [0.25, -0.25], [0.25, 0.25]]) * glob_res
+    for s in range(n_sub):
+        c0, s0 = np.cos(org[s, 2]), np.sin(org[s, 2])
+        R = np.asarray([[c0, -s0], [s0, c0]], np.float32)
+        v = sc[s].reshape(-1).astype(np.float32)
+        pos = np.zeros(gh * gw + 1, np.float32)
+        neg = np.zeros(gh * gw + 1, np.float32)
+        for k in range(4):
+            p = (local + offs[k]) @ R.T + org[s, :2]
+            gx = np.floor(p[:, 0] / glob_res).astype(np.int64)
+            gy = np.floor(p[:, 1] / glob_res).astype(np.int64)
+            ok = (gx >= 0) & (gx < gw) & (gy >= 0) & (gy < gh) & (v != 0)
+            flat = np.where(ok, gy * gw + gx, gh * gw)
+            np.maximum.at(pos, flat, np.where(ok & (v > 0), v, 0.0))
+            np.maximum.at(neg, flat, np.where(ok & (v < 0), -v, 0.0))
+        out += np.where(pos >= neg, pos, -neg)[: gh * gw]
+    return out.reshape(gh, gw)

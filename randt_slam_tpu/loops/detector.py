@@ -197,3 +197,151 @@ def detect_loops(
         n_accepted=int(len(keep)),
         cs_divergences=cs,
     )
+
+
+def detect_loops_mahalanobis(
+    cfg: SlamConfig,
+    odo,                  # pipeline.slam.OdometryResult
+    frames,               # Frame pytree of the full sequence
+    sensor_to_base=None,
+    node_cov=None,        # (N, 3, 3) marginal node covariances (optional)
+) -> LoopResult:
+    """Alternative loop-closure path — position data association
+    (``use_scan_context_as_loop_closure: false``, ``local_fuser.cpp:350-410``):
+
+      * per (query, node) Mahalanobis distance of positions under the node's
+        marginal covariance (:357) — one batched (Q, N) form,
+      * per query, the best match per FINISHED foreign submap under
+        ``max_data_association_mahalanobis_dist`` (:358-363),
+      * initial guess root^-1 * query_pose (:374-376),
+      * optional CSM global search (``compute_dfs_loop_closure``) with the
+        search window derived from the match covariance (:379-391); the
+        reference sizes the window per candidate — here the batch shares the
+        largest window (fixed shapes; strictly wider search),
+      * shared GNC refinement + CS-divergence gate.
+
+    ``node_cov`` comes from :func:`graph.pose_graph.recover_covariances`
+    (the reference's source is commented out, ``global_fuser.cpp:62-87``;
+    identity covariance is the fallback, making the distance Euclidean).
+    """
+    dtype = jnp.float32
+    if sensor_to_base is None:
+        sensor_to_base = jnp.zeros(3, dtype)
+    lcfg = cfg.local_fuser
+    mcfg = cfg.matcher
+
+    N = len(odo.node_id)
+    node_pose = np.asarray(odo.node_pose)
+    node_submap = np.asarray(odo.node_submap)
+    n_sub = odo.n_submaps
+    if node_cov is None:
+        node_cov = np.tile(np.eye(3, dtype=np.float32), (N, 1, 1))
+    node_cov = np.asarray(node_cov)
+
+    # ---- batched Mahalanobis association ----------------------------------
+    query_ids = np.nonzero(~odo.node_is_root)[0]
+    Q = len(query_ids)
+    d = node_pose[query_ids, None, :2] - node_pose[None, :, :2]  # (Q, N, 2)
+    cov2 = node_cov[:, :2, :2] + 1e-9 * np.eye(2, dtype=np.float32)
+    inv2 = np.linalg.inv(cov2)  # (N, 2, 2)
+    dist = np.sqrt(np.maximum(
+        np.einsum("qni,nij,qnj->qn", d, inv2, d), 0.0
+    ))
+    foreign = (node_submap[None, :] != node_submap[query_ids][:, None])
+    finished = node_submap[None, :] < n_sub
+    # causality: online, only submaps finished before the query existed are
+    # searchable — the candidate (and its submap root) must predate the query
+    causal = np.arange(N)[None, :] < query_ids[:, None]
+    ok = (foreign & finished & causal
+          & (dist < lcfg.max_data_association_mahalanobis_dist))
+    dist = np.where(ok, dist, np.inf)
+
+    # best match per (query, submap)
+    q_list, m_list = [], []
+    for qi in range(Q):
+        for s in range(n_sub):
+            in_s = node_submap == s
+            if not np.any(ok[qi] & in_s):
+                continue
+            ds = np.where(in_s, dist[qi], np.inf)
+            m_list.append(int(np.argmin(ds)))
+            q_list.append(query_ids[qi])
+    if not q_list:
+        return LoopResult(
+            edge_begin=np.zeros(0, np.int64), edge_end=np.zeros(0, np.int64),
+            edge_trans=np.zeros((0, 3)), edge_sqrt_information=np.zeros((0, 3, 3)),
+            n_sc_candidates=0, n_accepted=0, cs_divergences=np.zeros(0),
+        )
+    q_nodes = np.asarray(q_list)
+    m_nodes = np.asarray(m_list)
+    m_submaps = node_submap[m_nodes]
+
+    # ---- initial guesses: root^-1 * query (no yaw hint, :374-376) ---------
+    root_nodes = odo.submap_root[m_submaps]
+    init_guess = compose(
+        inverse(jnp.asarray(node_pose[root_nodes], dtype)),
+        jnp.asarray(node_pose[q_nodes], dtype),
+    )
+
+    # moving scan cells of each query keyframe
+    mean, cov, valid, _, _, _ = _keyframe_features(
+        cfg, frames, odo.node_frame, sensor_to_base
+    )
+    q_idx = jnp.asarray(q_nodes, jnp.int32)
+    m_mean, m_cov, m_valid = mean[q_idx], cov[q_idx], valid[q_idx]
+
+    sub_idx = jnp.asarray(m_submaps, jnp.int32)
+    f_stats = C.CellStats(
+        n=odo.submap_cells_n[sub_idx],
+        s=odo.submap_cells_s[sub_idx],
+        ss=odo.submap_cells_ss[sub_idx],
+    )
+    cc = cfg.ndt_map.cell
+    f_mean, f_cov = C.mean_cov(f_stats, cc.eig_floor_ratio,
+                               cc.intensity_var_jitter, use_pndt=cc.use_pndt)
+    f_valid = C.valid_mask(f_stats, cfg.ndt_map.min_points_per_cell)
+
+    if lcfg.compute_dfs_loop_closure:
+        # search window from the match covariances (:380-386); the batch
+        # shares the largest window so shapes stay static
+        eig_max = np.linalg.eigvalsh(node_cov[m_nodes][:, :2, :2]).max()
+        win_l = float(lcfg.max_data_association_mahalanobis_dist
+                      * abs(eig_max))
+        win_a = float(min(
+            2.0 * np.pi,
+            lcfg.max_data_association_mahalanobis_dist
+            * np.sqrt(node_cov[m_nodes][:, 2, 2].max()),
+        ))
+        if win_l > 0 and win_a > 0:
+            presearch = jax.jit(jax.vmap(partial(
+                matcher.global_grid_search, cfg,
+                search_window_linear=win_l, search_window_angular=win_a,
+            )))
+            init_guess, _ = presearch(
+                init_guess, f_mean, f_cov, f_valid, m_mean, m_cov, m_valid
+            )
+
+    refine = jax.jit(jax.vmap(partial(matcher.estimate_loop, cfg)))
+    est = refine(init_guess, f_mean, f_cov, f_valid, m_mean, m_cov, m_valid)
+
+    def gate(pose, fm, fc, fv, mm, mc, mv):
+        mm2, mc2 = matcher.transform_mean_cov(pose, mm, mc)
+        return D.cs_divergence(fm, fc, fv, mm2, mc2, mv)
+
+    cs = np.asarray(jax.jit(jax.vmap(gate))(
+        est.pose, f_mean, f_cov, f_valid, m_mean, m_cov, m_valid
+    ))
+    accept = cs < lcfg.loop_closure_max_cs_divergence
+    sqrtI = lcfg.loop_closure_weight * np.asarray(
+        lcfg.loop_sqrt_information, np.float64
+    )
+    keep = np.nonzero(accept)[0]
+    return LoopResult(
+        edge_begin=np.asarray(root_nodes)[keep],
+        edge_end=q_nodes[keep],
+        edge_trans=np.asarray(est.pose)[keep],
+        edge_sqrt_information=np.broadcast_to(sqrtI, (len(keep), 3, 3)).copy(),
+        n_sc_candidates=int(len(q_nodes)),
+        n_accepted=int(len(keep)),
+        cs_divergences=cs,
+    )

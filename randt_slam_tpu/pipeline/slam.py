@@ -112,6 +112,7 @@ class SlamResult:
     submap_origin_optimized: np.ndarray  # (NS, 3) re-anchored submap origins
     pgo_cost: float
     pgo_iterations: int
+    timings: dict = dataclasses.field(default_factory=dict)
 
 
 def run_slam(
@@ -124,12 +125,40 @@ def run_slam(
     """Full offline SLAM: odometry, batched loop closure, one final
     pose-graph solve + submap re-anchoring (``ndt_slam.cpp:94-209`` offline
     semantics: loop search per frame, PGO once at bag end)."""
+    import time
+
     from ..graph import pose_graph as PG
     from ..loops import detector
 
+    timings = {}
+    t0 = time.perf_counter()
     odo = run_odometry(cfg, frames, sensor_to_base=sensor_to_base,
                        initial_pose=initial_pose, use_scan=use_scan)
-    loops = detector.detect_loops(cfg, odo, frames, sensor_to_base)
+    timings["odometry_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    if cfg.local_fuser.use_scan_context_as_loop_closure:
+        loops = detector.detect_loops(cfg, odo, frames, sensor_to_base)
+    else:
+        # variant B (``local_fuser.cpp:350-410``): position data association;
+        # node covariances from one PGO covariance-recovery pass over the
+        # odometry-only graph
+        g0 = PG.PoseGraph(
+            poses=jnp.asarray(odo.node_pose, jnp.float32),
+            id_begin=jnp.asarray(odo.edge_begin, jnp.int32),
+            id_end=jnp.asarray(odo.edge_end, jnp.int32),
+            trans=jnp.asarray(odo.edge_trans, jnp.float32),
+            sqrt_information=jnp.asarray(odo.edge_sqrt_information,
+                                         jnp.float32),
+            valid=jnp.ones(len(odo.edge_begin), bool),
+        )
+        node_cov = PG.recover_covariances(
+            g0, g0.poses, cfg.global_fuser
+        )
+        loops = detector.detect_loops_mahalanobis(
+            cfg, odo, frames, sensor_to_base, node_cov=np.asarray(node_cov)
+        )
+    timings["loop_closure_s"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
 
     # Assemble the pose graph: odometry edges + loop edges.
     eb = np.concatenate([odo.edge_begin, loops.edge_begin]).astype(np.int32)
@@ -148,6 +177,7 @@ def run_slam(
     )
     opt_poses, info = PG.optimize(g, cfg.global_fuser)
     opt_poses = np.asarray(opt_poses)
+    timings["pgo_s"] = round(time.perf_counter() - t0, 3)
 
     # Submap re-anchoring (``LocalFuser::updateSubmaps``): each submap origin
     # moves to its root node's optimized pose.
@@ -164,6 +194,7 @@ def run_slam(
         submap_origin_optimized=new_origin,
         pgo_cost=float(info["cost"]),
         pgo_iterations=int(info["iterations"]),
+        timings=timings,
     )
 
 
@@ -214,19 +245,44 @@ def render_ogm(cfg: SlamConfig, result: SlamResult, frames: F.Frame,
     local = compose(inverse(origins), node_pose)
     sensor_pose = compose(local, jnp.broadcast_to(sensor_to_base, local.shape))
 
-    trace = jax.jit(lambda counts, poses_b, beams_b, mask_b: RT.raytrace_beams(
-        counts, poses_b, beams_b, mask_b, o.resolution,
-        max_steps=min(2048, 2 * int(cfg.preprocessor.max_range / o.resolution)),
-    ))
+    # Counting-grid accumulation.  Rays are irregular integer walks — a poor
+    # fit for the MXU and a serial scatter on device — so the batched beam
+    # EXTRACTION stays on device while the grid update runs through the native
+    # C++ Bresenham (the reference's own CPU-timer arrangement,
+    # ``ndt_slam.cpp:366-368``); device scatter path is the fallback.
+    from ..io import native as NT
+
     A = beams.shape[1]
+    beams_np = np.asarray(beams)
+    mask_np = np.asarray(beam_mask)
+    pose_np = np.asarray(sensor_pose)
+    node_sub = np.asarray(odo.node_submap)
+    use_native = NT.have_native()
+    trace = None
+    if not use_native:
+        trace = jax.jit(lambda counts, poses_b, beams_b, mask_b:
+                        RT.raytrace_beams(
+                            counts, poses_b, beams_b, mask_b, o.resolution,
+                            max_steps=min(2048, 2 * int(
+                                cfg.preprocessor.max_range / o.resolution)),
+                        ))
     count_grids = []
     for s in range(n_sub):
-        sel = np.nonzero(np.asarray(odo.node_submap) == s)[0]
-        counts = jnp.zeros((sh, sw), jnp.int32)
-        for i in sel:
-            poses_b = jnp.broadcast_to(sensor_pose[i], (A, 3))
-            counts = trace(counts, poses_b, beams[i], beam_mask[i])
-        count_grids.append(counts)
+        sel = np.nonzero(node_sub == s)[0]
+        poses_b = np.repeat(pose_np[sel], A, axis=0)         # (N*A, 3)
+        beams_b = beams_np[sel].reshape(-1, 3)
+        mask_b = mask_np[sel].reshape(-1)
+        if use_native:
+            counts = NT.bresenham_raytrace(
+                np.zeros((sh, sw), np.int32), poses_b,
+                beams_b[:, 0], beams_b[:, 1], mask_b, o.resolution,
+            )
+            count_grids.append(jnp.asarray(counts))
+        else:
+            counts = trace(jnp.zeros((sh, sw), jnp.int32),
+                           jnp.asarray(poses_b), jnp.asarray(beams_b),
+                           jnp.asarray(mask_b))
+            count_grids.append(counts)
     count_grids = jnp.stack(count_grids) if count_grids else jnp.zeros(
         (0, sh, sw), jnp.int32)
 
@@ -242,10 +298,19 @@ def render_ogm(cfg: SlamConfig, result: SlamResult, frames: F.Frame,
         [-0.5 * o.size_x * o.resolution, -0.5 * o.size_y * o.resolution, 0.0],
         dtype,
     )
-    total = OGM.fuse_submaps(
-        count_grids.astype(jnp.float32), sub_corners, o.resolution,
-        o.resolution, g_corner, o.size_y, o.size_x,
-    )
+    if use_native:
+        rel = compose(
+            jnp.broadcast_to(inverse(g_corner), sub_corners.shape), sub_corners
+        )
+        total = jnp.asarray(NT.fuse_counting_grids(
+            np.asarray(count_grids), np.asarray(rel), o.resolution,
+            o.resolution, o.size_y, o.size_x,
+        ))
+    else:
+        total = OGM.fuse_submaps(
+            count_grids.astype(jnp.float32), sub_corners, o.resolution,
+            o.resolution, g_corner, o.size_y, o.size_x,
+        )
     return np.asarray(OGM.global_occupancy(total)), np.asarray(count_grids)
 
 

@@ -129,6 +129,8 @@ def main(argv=None):
         node_stamp = res.node_stamp
         node_frame = res.node_frame
         n_loops = res.loops.n_accepted
+        for k, v in res.timings.items():
+            prof.stages[f"slam.{k}"].add(v)
         if args.ogm:
             with prof.stage("ogm"):
                 grid, _ = slam.render_ogm(cfg, res, frames)

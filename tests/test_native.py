@@ -69,3 +69,26 @@ def test_device_raytracer_matches_native_bresenham_exactly():
         jnp.ones(n, bool), res, max_steps=64,
     ))
     np.testing.assert_array_equal(dev, ref)
+
+
+def test_fuse_counting_grids_matches_device():
+    """Native MasterMap fusion == device scatter fusion on a rotated case."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from randt_slam_tpu.io import native as NT
+    from randt_slam_tpu.mapping import ogm as OGM
+
+    rng = np.random.default_rng(3)
+    counts = rng.integers(-30, 30, (2, 40, 40)).astype(np.int32)
+    counts[rng.random((2, 40, 40)) < 0.7] = 0
+    origins = np.asarray(
+        [[1.05, -2.05, 0.31], [-3.55, 0.45, -1.2]], np.float32
+    )
+    gh = gw = 96
+    host = NT.fuse_counting_grids(counts, origins, 0.5, 0.5, gh, gw)
+    dev = np.asarray(OGM.fuse_submaps(
+        jnp.asarray(counts, jnp.float32), jnp.asarray(origins),
+        0.5, 0.5, jnp.zeros(3), gh, gw,
+    ))
+    np.testing.assert_allclose(host, dev, atol=1e-4)

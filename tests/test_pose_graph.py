@@ -92,3 +92,32 @@ def test_max_update_index_filters_loop_edges():
     # which (chain + gauge fix) keeps the initial guess
     poses, _ = PG.optimize(g, GlobalFuserConfig(), max_update_index=0)
     np.testing.assert_allclose(np.asarray(poses), est, atol=2e-2)
+
+
+def test_recover_covariances_chain_growth():
+    """Marginal covariance grows along an odometry chain and is zero at the
+    gauge-fixed node (the reference's commented-out ceres::Covariance path,
+    ``global_fuser.cpp:62-87``)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from randt_slam_tpu.config import GlobalFuserConfig
+    from randt_slam_tpu.graph import pose_graph as PG
+
+    N = 5
+    poses = jnp.asarray(
+        np.cumsum(np.tile([1.0, 0.0, 0.0], (N, 1)), 0), jnp.float32
+    )
+    g = PG.PoseGraph(
+        poses=poses,
+        id_begin=jnp.arange(N - 1, dtype=jnp.int32),
+        id_end=jnp.arange(1, N, dtype=jnp.int32),
+        trans=jnp.tile(jnp.asarray([1.0, 0.0, 0.0]), (N - 1, 1)),
+        sqrt_information=jnp.tile(jnp.eye(3), (N - 1, 1, 1)),
+        valid=jnp.ones(N - 1, bool),
+    )
+    cov = np.asarray(PG.recover_covariances(g, poses, GlobalFuserConfig()))
+    assert np.allclose(cov[0], 0.0)
+    sx = cov[:, 0, 0]
+    assert np.all(np.diff(sx[1:]) > 0), sx
+    np.testing.assert_allclose(sx[1], 1.0, rtol=1e-4)

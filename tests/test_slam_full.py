@@ -66,3 +66,54 @@ def test_submaps_reanchored(loop_setup):
         res.node_pose_optimized[odo.submap_root[:n]],
         atol=1e-5,
     )
+
+
+def test_render_ogm(loop_setup):
+    """OGM post-pass (``raytrace``/``visualizeMap``): free space carved below
+    zero along rays, hits accumulated positive, submaps fused globally."""
+    cfg, seq, res = loop_setup
+    res_ogm = 2.0
+    m = cfg.ndt_map  # already derived: size_* in cells
+    sub_cells = int(m.size_x * m.resolution / res_ogm)
+    cfg_ogm = dataclasses.replace(
+        cfg, ogm=dataclasses.replace(
+            cfg.ogm, resolution=res_ogm, size_x=300, size_y=300,
+            submap_size_x=sub_cells, submap_size_y=sub_cells,
+        ),
+    )
+    frames = slam.frames_from_arrays(
+        seq.intensity, seq.azimuths, seq.ranges, seq.stamps
+    )
+    grid, counts = slam.render_ogm(cfg_ogm, res, frames)
+    n_sub = res.odometry.n_submaps
+    assert counts.shape[0] == n_sub
+    assert counts.min() < 0, "no free-space decrements"
+    assert counts.max() >= 2, "no hit increments"
+    assert np.isfinite(grid).all()
+    # occupied and free both appear in the fused global map
+    assert (grid > 50).sum() > 0 and (grid == 0).sum() > 0
+
+
+def test_mahalanobis_loop_detection(loop_setup):
+    """Variant B (``use_scan_context_as_loop_closure: false``): position
+    data association finds and gates loop closures on the closed loop."""
+    cfg, seq, res = loop_setup
+    from randt_slam_tpu.loops import detector
+
+    frames = slam.frames_from_arrays(
+        seq.intensity, seq.azimuths, seq.ranges, seq.stamps
+    )
+    loops = detector.detect_loops_mahalanobis(
+        dataclasses.replace(
+            cfg,
+            local_fuser=dataclasses.replace(
+                cfg.local_fuser,
+                use_scan_context_as_loop_closure=False,
+                max_data_association_mahalanobis_dist=8.0,
+            ),
+        ),
+        res.odometry, frames,
+    )
+    assert loops.n_sc_candidates > 0, "no Mahalanobis association candidates"
+    assert loops.n_accepted > 0, "no variant-B loop survived the CS gate"
+    assert np.all(loops.edge_begin < loops.edge_end)
