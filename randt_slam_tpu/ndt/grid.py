@@ -109,6 +109,110 @@ def compact_grid(geom: GridGeom, grid: CellStats, k: int, min_points: int):
     return picked, picked.n > float(min_points)
 
 
+class SparseGrid(NamedTuple):
+    """NDT submap as a dense int32 index grid over a compact cell table.
+
+    This mirrors the reference ``Map``'s actual storage — a dense
+    ``grid_indizes_`` int grid pointing into a sparse ``grid_`` cell vector
+    (``RS/include/ndt_representation/ndt_map.h:155-162``) — rather than the
+    fully dense stats grid of the first TPU design.  Only ~2-4k of the 160k
+    Oxford grid slots are ever occupied, so keeping sufficient statistics
+    densely wasted HBM bandwidth on every carry copy, full-grid derive and
+    window gather.  Here:
+
+      index: (H, W) int32, -1 = empty, else slot into the stats table
+      stats: CellStats with batch (S,) — compact sufficient statistics
+      count: () int32 — allocated slots (monotone per submap lifetime)
+    """
+
+    index: jax.Array
+    stats: CellStats
+    count: jax.Array
+
+
+def empty_sparse(geom: GridGeom, capacity: int, dtype=jnp.float32) -> SparseGrid:
+    return SparseGrid(
+        index=jnp.full((geom.size_y, geom.size_x), -1, jnp.int32),
+        stats=C.zeros((capacity,), dtype),
+        count=jnp.int32(0),
+    )
+
+
+def scatter_sparse(geom: GridGeom, sg: SparseGrid, new: CellStats, valid) -> SparseGrid:
+    """Merge a batch of cells into the sparse grid, keyed by cell mean.
+
+    Replaces ``Map::mergeMapCell`` (``ndt_map.cpp:191-207``): existing target
+    cells merge by sufficient-statistic addition; new targets allocate table
+    slots.  Allocation is batched: first-occurrence winners per target grid
+    slot are selected with a scatter-min race, assigned consecutive slots via
+    a prefix sum, and written into the index grid; every incoming cell then
+    re-gathers its slot so in-batch duplicates merge into the winner's slot.
+    Table overflow drops cells (the reference would grow; capacity is sized
+    so this never fires in practice).
+    """
+    S = sg.stats.n.shape[0]
+    HW = geom.size_x * geom.size_y
+    mu = C.mean(new)
+    ix, iy, inb = cell_index(geom, mu[..., :2])
+    ok = inb & valid & (new.n > 0)
+    flat = jnp.where(ok, iy * geom.size_x + ix, 0)
+    idx_flat = sg.index.reshape(-1)
+
+    cur = idx_flat[flat]
+    is_new = ok & (cur < 0)
+    Cn = flat.shape[0]
+    pos = jnp.arange(Cn, dtype=jnp.int32)
+    race = jnp.full((HW,), Cn, jnp.int32)
+    race = race.at[jnp.where(is_new, flat, HW)].min(pos, mode="drop")
+    winner = is_new & (race[flat] == pos)
+    order = jnp.cumsum(winner.astype(jnp.int32)) - 1
+    slot_w = sg.count + order
+    alloc = winner & (slot_w < S)
+    idx_flat = idx_flat.at[jnp.where(alloc, flat, HW)].set(
+        slot_w.astype(jnp.int32), mode="drop"
+    )
+
+    slot = idx_flat[flat]
+    use = ok & (slot >= 0)
+    tgt = jnp.where(use, slot, S)
+    w = use.astype(new.n.dtype)
+    stats = CellStats(
+        n=sg.stats.n.at[tgt].add(new.n * w, mode="drop"),
+        s=sg.stats.s.at[tgt].add(new.s * w[..., None], mode="drop"),
+        ss=sg.stats.ss.at[tgt].add(new.ss * w[..., None, None], mode="drop"),
+    )
+    count = jnp.minimum(sg.count + jnp.sum(winner.astype(jnp.int32)), S)
+    return SparseGrid(
+        index=idx_flat.reshape(geom.size_y, geom.size_x), stats=stats, count=count
+    )
+
+
+def transform_sparse(geom: GridGeom, sg: SparseGrid, pose) -> SparseGrid:
+    """Rigid-transform a sparse grid and re-key cells by transformed means.
+
+    Replaces ``Map::transformMap`` + submap re-anchoring; only the compact
+    table is transformed (S cells), then re-scattered into a fresh index
+    grid.  Cells that land outside the grid are dropped.
+    """
+    moved = C.transform(
+        CellStats(sg.stats.n[None], sg.stats.s[None], sg.stats.ss[None]),
+        pose[None],
+    )
+    moved = CellStats(moved.n[0], moved.s[0], moved.ss[0])
+    fresh = empty_sparse(geom, sg.stats.n.shape[0], sg.stats.s.dtype)
+    return scatter_sparse(geom, fresh, moved, moved.n > 0)
+
+
+def derive_sparse_fields(sg: SparseGrid, min_points: int, cell_cfg):
+    """(mean, regularized cov, valid) for the compact cell table only —
+    ~40x fewer eigendecompositions than deriving the dense grid."""
+    mu, cov = C.mean_cov(
+        sg.stats, cell_cfg.eig_floor_ratio, cell_cfg.intensity_var_jitter,
+        use_pndt=cell_cfg.use_pndt,
+    )
+    return mu, cov, C.valid_mask(sg.stats, min_points)
+
+
 class NeighborSet(NamedTuple):
     """k fixed-map neighbors per query cell."""
 
@@ -176,6 +280,65 @@ def window_neighbors(
     dist = jnp.where(gv, dist, jnp.inf)
 
     neg, idx = jax.lax.top_k(-dist, k)  # (Q, k)
+    sel_valid = jnp.isfinite(neg)
+    take = jnp.take_along_axis
+    return _sanitize(
+        NeighborSet(
+            mean=take(gm, idx[..., None], axis=1),
+            cov=take(gc, idx[..., None, None], axis=1),
+            valid=sel_valid,
+        )
+    )
+
+
+def window_neighbors_sparse(
+    geom: GridGeom,
+    index,        # (H, W) int32 index grid
+    t_mean,       # (S, 3) derived table fields
+    t_cov,        # (S, 3, 3)
+    t_valid,      # (S,)
+    q_mean,
+    q_cov,
+    q_valid,
+    k: int,
+    radius: int,
+    use_distribution_metric: bool = True,
+) -> NeighborSet:
+    """Masked top-k neighbor lookup over a static (2r+1)^2 window, sparse
+    storage: gather 1 int32 per window cell from the dense index grid, then
+    gather fields from the small VMEM-resident table — ~12x less HBM traffic
+    than gathering (mean, cov) rows from a dense field grid.
+
+    Semantics identical to :func:`window_neighbors` / the reference ring
+    search ``Map::getClosestCells`` (``ndt_map.cpp:101-151``).
+    """
+    H, W = geom.size_y, geom.size_x
+    ix, iy, inb = cell_index(geom, q_mean[..., :2])
+
+    d = jnp.arange(-radius, radius + 1)
+    dyy, dxx = jnp.meshgrid(d, d, indexing="ij")
+    dxx = dxx.reshape(-1)
+    dyy = dyy.reshape(-1)
+    nx = ix[:, None] + dxx[None, :]  # (Q, W2)
+    ny = iy[:, None] + dyy[None, :]
+    ok = inb[:, None] & (nx >= 0) & (nx < W) & (ny >= 0) & (ny < H)
+    flat = jnp.where(ok, ny * W + nx, 0)
+
+    slots = index.reshape(-1)[flat]             # (Q, W2) int32
+    have = ok & (slots >= 0) & q_valid[:, None]
+    sl = jnp.where(have, slots, 0)
+    gm = t_mean[sl]                              # (Q, W2, 3) table gather
+    gc = t_cov[sl]                               # (Q, W2, 3, 3)
+    gv = have & t_valid[sl]
+
+    if use_distribution_metric:
+        dist = C.mahalanobis_sq_intensity(q_mean[:, None, :], q_cov[:, None], gm, gc)
+    else:
+        diff = gm[..., :2] - q_mean[:, None, :2]
+        dist = jnp.sum(diff * diff, axis=-1)
+    dist = jnp.where(gv, dist, jnp.inf)
+
+    neg, idx = jax.lax.top_k(-dist, k)
     sel_valid = jnp.isfinite(neg)
     take = jnp.take_along_axis
     return _sanitize(

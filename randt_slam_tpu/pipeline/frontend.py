@@ -80,9 +80,9 @@ class FrontendCarry(NamedTuple):
     kq_frame: jax.Array      # (KQ,) int32 source frame index
     kq_stamp: jax.Array      # (KQ,)
     kq_len: jax.Array        # () int32
-    # submaps
-    submap: CellStats        # (H, W) current submap grid
-    prev_submap: CellStats   # (H, W) previous submap in current frame
+    # submaps (sparse: dense int32 index grid + compact cell table)
+    submap: G.SparseGrid     # current submap
+    prev_submap: G.SparseGrid  # previous submap in current frame
     has_prev: jax.Array      # () bool
     submap_origin: jax.Array  # (3,) global pose of current submap origin
     n_finished: jax.Array    # () int32
@@ -157,8 +157,8 @@ def init_carry(cfg: SlamConfig, initial_pose=None, dtype=jnp.float32) -> Fronten
         kq_frame=jnp.zeros((KQ,), jnp.int32),
         kq_stamp=jnp.zeros((KQ,), dtype),
         kq_len=jnp.int32(0),
-        submap=G.empty_grid(geom, dtype),
-        prev_submap=G.empty_grid(geom, dtype),
+        submap=G.empty_sparse(geom, cap.max_submap_cells, dtype),
+        prev_submap=G.empty_sparse(geom, cap.max_submap_cells, dtype),
         has_prev=jnp.bool_(False),
         submap_origin=initial_pose.astype(dtype),
         n_finished=jnp.int32(0),
@@ -228,11 +228,7 @@ def _push_ring(buf, value):
 def flush_submap(cfg: SlamConfig, c: FrontendCarry) -> FrontendCarry:
     """Persist the current (unfinished) submap into the store at sequence end
     so the loop/PGO passes see every submap."""
-    geom = G.GridGeom.from_config(cfg.ndt_map)
-    packed, _ = G.compact_grid(
-        geom, c.submap, cfg.capacity.max_submap_cells,
-        cfg.ndt_map.min_points_per_cell,
-    )
+    packed = c.submap.stats  # already compact
     idx = jnp.minimum(c.n_finished, cfg.capacity.max_submaps - 1)
     store_cells = CellStats(
         n=c.store_cells.n.at[idx].set(packed.n),
@@ -291,15 +287,11 @@ def _start_new_submap(cfg: SlamConfig, c: FrontendCarry) -> FrontendCarry:
     new_origin = compose(c.submap_origin, switch_pose)
     # Previous submap expressed in the NEW submap frame (inverse transform +
     # grid re-keying — fix over ``local_fuser.cpp:45-46``).
-    prev = G.transform_grid(
-        geom, c.submap, inverse(switch_pose), cfg.ndt_map.min_points_per_cell
-    )
-    # Persist the finished submap compacted (replaces ``submaps_`` in
-    # ``local_fuser.h:174``; consumed by the batched loop-closure pass).
-    packed, _ = G.compact_grid(
-        geom, c.submap, cfg.capacity.max_submap_cells,
-        cfg.ndt_map.min_points_per_cell,
-    )
+    prev = G.transform_sparse(geom, c.submap, inverse(switch_pose))
+    # Persist the finished submap (replaces ``submaps_`` in
+    # ``local_fuser.h:174``; consumed by the batched loop-closure pass) —
+    # the sparse table is already compact.
+    packed = c.submap.stats
     idx = jnp.minimum(c.n_finished, cfg.capacity.max_submaps - 1)
     store_cells = CellStats(
         n=c.store_cells.n.at[idx].set(packed.n),
@@ -322,7 +314,7 @@ def _start_new_submap(cfg: SlamConfig, c: FrontendCarry) -> FrontendCarry:
         kq_frame=jnp.zeros_like(c.kq_frame),
         kq_stamp=jnp.zeros_like(c.kq_stamp),
         kq_len=jnp.int32(0),
-        submap=G.empty_grid(geom, c.states.dtype),
+        submap=G.empty_sparse(geom, cfg.capacity.max_submap_cells, c.states.dtype),
         prev_submap=prev,
         has_prev=jnp.bool_(True),
         submap_origin=new_origin,
@@ -375,7 +367,7 @@ def _first_scan(cfg: SlamConfig, c: FrontendCarry, frame: Frame,
         c.cur_pose[None],
     )
     moved = CellStats(moved.n[0], moved.s[0], moved.ss[0])
-    submap = G.scatter_cells(geom, c.submap, moved, scan.valid)
+    submap = G.scatter_sparse(geom, c.submap, moved, scan.valid)
 
     # Root node + edge from the previous node (if any).
     node_pose = c.submap_origin
@@ -475,10 +467,11 @@ def _regular_scan(cfg: SlamConfig, c: FrontendCarry, frame: Frame,
 
     # --- fixed maps -----------------------------------------------------------
     cell_cfg = cfg.ndt_map.cell
-    f1 = G.derive_grid_fields(c.submap, cfg.ndt_map.min_points_per_cell, cell_cfg)
-    f2 = G.derive_grid_fields(c.prev_submap, cfg.ndt_map.min_points_per_cell, cell_cfg)
+    f1 = G.derive_sparse_fields(c.submap, cfg.ndt_map.min_points_per_cell, cell_cfg)
+    f2 = G.derive_sparse_fields(c.prev_submap, cfg.ndt_map.min_points_per_cell, cell_cfg)
     use_prev = c.has_prev & (traj_len < lcfg.submap_overlap)
     fixed = matcher.FixedMaps(
+        index=jnp.stack([c.submap.index, c.prev_submap.index]),
         mean=jnp.stack([f1[0], f2[0]]),
         cov=jnp.stack([f1[1], f2[1]]),
         valid=jnp.stack([f1[2], f2[2]]),
@@ -543,7 +536,7 @@ def _regular_scan(cfg: SlamConfig, c: FrontendCarry, frame: Frame,
             smoothed_pose[None],
         )
         moved = CellStats(moved.n[0], moved.s[0], moved.ss[0])
-        submap = G.scatter_cells(geom, submap, moved, front_valid)
+        submap = G.scatter_sparse(geom, submap, moved, front_valid)
         # pop front
         kq_stats = CellStats(
             n=jnp.concatenate([kq_stats.n[1:], jnp.zeros_like(kq_stats.n[:1])]),

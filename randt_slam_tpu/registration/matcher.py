@@ -47,11 +47,13 @@ class ScanWindow(NamedTuple):
 class FixedMaps(NamedTuple):
     """Derived fields of the fixed NDT maps (current submap + optional
     previous submap transformed into the current frame,
-    ``local_fuser.cpp:128-136``)."""
+    ``local_fuser.cpp:128-136``).  Sparse storage: a dense int32 index grid
+    per map plus compact derived-field tables."""
 
-    mean: jax.Array    # (F, H, W, 3)
-    cov: jax.Array     # (F, H, W, 3, 3)
-    valid: jax.Array   # (F, H, W)
+    index: jax.Array   # (F, H, W) int32 index grid (-1 = empty)
+    mean: jax.Array    # (F, S, 3)
+    cov: jax.Array     # (F, S, 3, 3)
+    valid: jax.Array   # (F, S)
     use: jax.Array     # (F,) bool — second map only during submap overlap
 
 
@@ -116,18 +118,18 @@ def estimate_window(
     Fn = fixed.mean.shape[0]
     radius = cfg.ndt_map.nn_window_radius
 
-    def assoc_one(f_mu, f_cov, f_val, qm, qc, qv):
-        return G.window_neighbors(
-            geom, f_mu, f_cov, f_val,
+    def assoc_one(f_idx, f_mu, f_cov, f_val, qm, qc, qv):
+        return G.window_neighbors_sparse(
+            geom, f_idx, f_mu, f_cov, f_val,
             qm, qc, qv, K, radius,
             use_distribution_metric=mcfg.lookup_distribution,
         )
 
     # vmap over fixed maps, then over window slots.
     assoc = jax.vmap(
-        lambda qm, qc, qv: jax.vmap(assoc_one, in_axes=(0, 0, 0, None, None, None))(
-            fixed.mean, fixed.cov, fixed.valid, qm, qc, qv
-        )
+        lambda qm, qc, qv: jax.vmap(
+            assoc_one, in_axes=(0, 0, 0, 0, None, None, None)
+        )(fixed.index, fixed.mean, fixed.cov, fixed.valid, qm, qc, qv)
     )(q_mu.reshape(W, C, 3), q_cov.reshape(W, C, 3, 3), scans.valid)
     # assoc.*: (W, F, C, K, ...)
     # Window size shrinks early in a submap: the anchor (pose-constant) state
