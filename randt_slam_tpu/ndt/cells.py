@@ -76,17 +76,40 @@ def from_points(points, mask, segment_ids, num_segments,
     sample_cov + mean(J Sigma J^T), and rigid transforms / merges of the
     sufficient statistics remain closed-form.
     """
+    # All 13 moment channels in one segment reduction (Pallas MXU kernel on
+    # TPU; see ``ops/segment_moments.py``): [w | w·p | (w·ppᵀ + noise)].
+    from ..ops import segment_moments
+
+    chans = _moment_channels(points, mask, polar, beam_cov)
+    out = segment_moments(chans, segment_ids, num_segments)
+    return CellStats(n=out[:, 0], s=out[:, 1:4], ss=out[:, 4:13].reshape(-1, 3, 3))
+
+
+def from_points_compact(points, mask, segment_ids, num_segments, k,
+                        polar=None, beam_cov=None):
+    """Fused :func:`from_points` + :func:`compact`: accumulate moments only
+    for the ``k`` most-populated segments (the scan cell budget).  Returns
+    (CellStats (k,), segment ids (k,)).  See ``ops/segment_moments.py``."""
+    from ..ops.segment_moments import segment_topk_moments
+
+    chans = _moment_channels(points, mask, polar, beam_cov)
+    out, topi = segment_topk_moments(chans, segment_ids, num_segments, k)
+    return (
+        CellStats(n=out[:, 0], s=out[:, 1:4], ss=out[:, 4:13].reshape(-1, 3, 3)),
+        topi,
+    )
+
+
+def _moment_channels(points, mask, polar=None, beam_cov=None):
+    """Per-point 13-channel moment vector [w | w·p | (w·ppᵀ + w·noise)]."""
     w = mask.astype(points.dtype)
     pts = points * w[:, None]
-    n = jax.ops.segment_sum(w, segment_ids, num_segments=num_segments)
-    s = jax.ops.segment_sum(pts, segment_ids, num_segments=num_segments)
     outer = pts[:, :, None] * points[:, None, :]
     if polar is not None:
         a, r = polar[:, 0], polar[:, 1]
         sa, ca = jnp.sin(a), jnp.cos(a)
         zero = jnp.zeros_like(a)
         one = jnp.ones_like(a)
-        # J = [[-r sin a, cos a, 0], [r cos a, sin a, 0], [0, 0, 1]]
         J = jnp.stack(
             [
                 jnp.stack([-r * sa, ca, zero], axis=-1),
@@ -97,8 +120,7 @@ def from_points(points, mask, segment_ids, num_segments,
         )
         pcov = jnp.einsum("pij,jk,plk->pil", J, jnp.asarray(beam_cov, points.dtype), J)
         outer = outer + pcov * w[:, None, None]
-    ss = jax.ops.segment_sum(outer, segment_ids, num_segments=num_segments)
-    return CellStats(n=n, s=s, ss=ss)
+    return jnp.concatenate([w[:, None], pts, outer.reshape(-1, 9)], axis=-1)
 
 
 def merge(a: CellStats, b: CellStats) -> CellStats:

@@ -188,12 +188,11 @@ def build_scan_cells(cfg: SlamConfig, frame: Frame, sensor_to_base) -> tuple:
     filt = pp.filter_scan(scan, cfg.preprocessor, sensor_to_base)
     ids, num = pp.cluster_ids(filt.points, filt.mask, cfg.preprocessor)
     cell_cfg = cfg.ndt_map.cell
-    dense = C.from_points(
-        filt.points, filt.mask, ids, num,
+    stats, _ = C.from_points_compact(
+        filt.points, filt.mask, ids, num, cfg.capacity.max_scan_cells,
         polar=filt.polar if cell_cfg.use_pndt else None,
         beam_cov=np.asarray(cell_cfg.beam_cov) if cell_cfg.use_pndt else None,
     )
-    stats, _ = C.compact(dense, cfg.capacity.max_scan_cells)
     mu, cov = C.mean_cov(
         stats,
         cell_cfg.eig_floor_ratio,

@@ -100,6 +100,7 @@ def estimate_window(
     scans: ScanWindow,
     fixed: FixedMaps,
     prior_pose,    # (3,) pose-jump rejection reference (pre-prediction pose)
+    use_structured_linearizer: bool = True,
 ):
     """One frame of the sliding-window smoother (``estimateTransformCeres``)."""
     mcfg = cfg.matcher
@@ -213,6 +214,65 @@ def estimate_window(
     )
     ndt_scale = mcfg.ndt_weight / jnp.maximum(n_cells * K, 1.0)
 
+    # ---- structured linearizer ---------------------------------------------
+    # Each NDT residual depends only on the 3 pose params of its window slot;
+    # compute its Jacobian with 3 forward tangents per slot (vmapped) and
+    # scatter per-slot 3x3 JᵀWJ blocks into the (P, P) normal equations —
+    # replacing the dense jacfwd over all (W+1)*9 params.  Aux (motion/IMU)
+    # residuals are few; their dense jacfwd is negligible.
+    from . import barron
+
+    active_f = active_mask.astype(dtype)
+    scale_ = mcfg.loss_function_scale
+    alpha_ = mcfg.loss_function_convexity
+
+    def aux_fn(p_flat):
+        p = p_flat.reshape(W + 1, 9)
+        r_mot = jax.vmap(R.motion_residual, in_axes=(0, 0, 0, None))(
+            p[:-1], p[1:], dts, sqrtI
+        )
+        r_imu = jax.vmap(R.imu_residual, in_axes=(0, 0, 0, 0, None, None))(
+            p[:-1], p[1:], dts, imu_meas, mcfg.weight_imu, mcfg.weight_imu_bias
+        )
+        return jnp.concatenate([r_mot.reshape(-1), r_imu.reshape(-1)])
+
+    def slot_residual(pose, mm, mc, am, ac):
+        return R.ndt_residual(pose[None, None, None, :], mm, mc, am, ac)  # (F,C,K)
+
+    def linearize_fn(p_flat, mu):
+        p = p_flat.reshape(W + 1, 9)
+        poses_w = p[1:, :3]
+
+        def slot_rj(pose, mm, mc, am, ac):
+            r = slot_residual(pose, mm, mc, am, ac)
+            Jp = jax.jacfwd(slot_residual)(pose, mm, mc, am, ac)
+            return r, Jp
+
+        r_ndt, Jn = jax.vmap(slot_rj)(
+            poses_w, m_mean_b, m_cov_b, assoc.mean, assoc.cov
+        )  # (W,F,C,K), (W,F,C,K,3)
+        w_ndt = ndt_scale * barron.weight(r_ndt * r_ndt, scale_, alpha_, mu)
+        w_ndt = jnp.where(pair_valid, w_ndt, 0.0)
+        # Normal equations need f32 accumulation (not the default bf16 MXU
+        # pass): conditioning of H decides the step quality.
+        hp = jax.lax.Precision.HIGHEST
+        Hj = jnp.einsum("wfck,wfcki,wfckj->wij", w_ndt, Jn, Jn, precision=hp)
+        gj = jnp.einsum("wfck,wfcki->wi", w_ndt * r_ndt, Jn, precision=hp)
+
+        ra = aux_fn(p_flat)
+        Ja = jax.jacfwd(aux_fn)(p_flat)  # (Na, P) — Na ~ 10*W, tiny
+        wa = jnp.where(aux_valid, 1.0, 0.0).astype(dtype)
+        Jm = Ja * active_f[None, :]
+        JW = Jm * wa[:, None]
+        H = jnp.einsum("ni,nj->ij", Jm, JW, precision=hp)
+        g = jnp.einsum("ni,n->i", JW, ra, precision=hp)
+        for j in range(W):
+            o = 9 * (j + 1)
+            af = active_f[o:o + 3]
+            H = H.at[o:o + 3, o:o + 3].add(Hj[j] * af[:, None] * af[None, :])
+            g = g.at[o:o + 3].add(gj[j] * af)
+        return H, g
+
     res = solver.gnc_solve(
         residual_fn,
         states.reshape(-1),
@@ -227,6 +287,7 @@ def estimate_window(
         mcfg.gnc_control_parameter_divisor,
         mcfg.lm_max_iterations,
         mcfg.lm_tolerance,
+        linearize_fn=linearize_fn if use_structured_linearizer else None,
     )
     new_states = res.params.reshape(W + 1, 9)
 
