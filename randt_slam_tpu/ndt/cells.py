@@ -86,14 +86,15 @@ def from_points(points, mask, segment_ids, num_segments,
 
 
 def from_points_compact(points, mask, segment_ids, num_segments, k,
-                        polar=None, beam_cov=None):
+                        polar=None, beam_cov=None, row_size=None):
     """Fused :func:`from_points` + :func:`compact`: accumulate moments only
     for the ``k`` most-populated segments (the scan cell budget).  Returns
     (CellStats (k,), segment ids (k,)).  See ``ops/segment_moments.py``."""
     from ..ops.segment_moments import segment_topk_moments
 
     chans = _moment_channels(points, mask, polar, beam_cov)
-    out, topi = segment_topk_moments(chans, segment_ids, num_segments, k)
+    out, topi = segment_topk_moments(chans, segment_ids, num_segments, k,
+                                     row_size=row_size)
     return (
         CellStats(n=out[:, 0], s=out[:, 1:4], ss=out[:, 4:13].reshape(-1, 3, 3)),
         topi,

@@ -327,9 +327,17 @@ def window_neighbors_sparse(
     slots = index.reshape(-1)[flat]             # (Q, W2) int32
     have = ok & (slots >= 0) & q_valid[:, None]
     sl = jnp.where(have, slots, 0)
-    gm = t_mean[sl]                              # (Q, W2, 3) table gather
-    gc = t_cov[sl]                               # (Q, W2, 3, 3)
-    gv = have & t_valid[sl]
+    # One fused (S, 16) row gather instead of separate mean/cov/valid
+    # gathers (TPU gathers are row-serial; fewer, wider rows win).
+    packed = jnp.concatenate(
+        [t_mean, t_cov.reshape(-1, 9),
+         t_valid.astype(t_mean.dtype)[:, None],
+         jnp.zeros((t_mean.shape[0], 3), t_mean.dtype)], axis=-1,
+    )  # (S, 16)
+    rows = packed[sl]                            # (Q, W2, 16)
+    gm = rows[..., :3]
+    gc = rows[..., 3:12].reshape(rows.shape[:-1] + (3, 3))
+    gv = have & (rows[..., 12] > 0.5)
 
     if use_distribution_metric:
         dist = C.mahalanobis_sq_intensity(q_mean[:, None, :], q_cov[:, None], gm, gc)
@@ -338,16 +346,39 @@ def window_neighbors_sparse(
         dist = jnp.sum(diff * diff, axis=-1)
     dist = jnp.where(gv, dist, jnp.inf)
 
-    neg, idx = jax.lax.top_k(-dist, k)
-    sel_valid = jnp.isfinite(neg)
+    return _select_topk(dist, gm, gc, k)
+
+
+def _select_topk(dist, gm, gc, k: int):
+    """Pick the k nearest window cells per query.
+
+    For small k (the reference uses n_results_nn_lookup = 2) an iterative
+    masked argmin is far cheaper on TPU than ``lax.top_k``, which lowers to a
+    full sort of the window axis.
+    """
     take = jnp.take_along_axis
-    return _sanitize(
-        NeighborSet(
-            mean=take(gm, idx[..., None], axis=1),
-            cov=take(gc, idx[..., None, None], axis=1),
-            valid=sel_valid,
-        )
-    )
+    if k <= 4:
+        means, covs, valids = [], [], []
+        for _ in range(k):
+            i = jnp.argmin(dist, axis=-1)
+            v = take(dist, i[..., None], axis=-1)[..., 0]
+            means.append(take(gm, i[..., None, None], axis=-2)[..., 0, :])
+            covs.append(take(gc, i[..., None, None, None], axis=-3)[..., 0, :, :])
+            valids.append(jnp.isfinite(v))
+            dist = jnp.where(
+                jax.nn.one_hot(i, dist.shape[-1], dtype=bool), jnp.inf, dist
+            )
+        return _sanitize(NeighborSet(
+            mean=jnp.stack(means, axis=-2),
+            cov=jnp.stack(covs, axis=-3),
+            valid=jnp.stack(valids, axis=-1),
+        ))
+    neg, idx = jax.lax.top_k(-dist, k)
+    return _sanitize(NeighborSet(
+        mean=take(gm, idx[..., None], axis=-2),
+        cov=take(gc, idx[..., None, None], axis=-3),
+        valid=jnp.isfinite(neg),
+    ))
 
 
 def _sanitize(nb: NeighborSet) -> NeighborSet:

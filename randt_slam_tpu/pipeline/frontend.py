@@ -192,6 +192,7 @@ def build_scan_cells(cfg: SlamConfig, frame: Frame, sensor_to_base) -> tuple:
         filt.points, filt.mask, ids, num, cfg.capacity.max_scan_cells,
         polar=filt.polar if cell_cfg.use_pndt else None,
         beam_cov=np.asarray(cell_cfg.beam_cov) if cell_cfg.use_pndt else None,
+        row_size=cfg.preprocessor.cluster_row_size,
     )
     mu, cov = C.mean_cov(
         stats,
@@ -470,7 +471,7 @@ def _regular_scan(cfg: SlamConfig, c: FrontendCarry, frame: Frame,
     f2 = G.derive_sparse_fields(c.prev_submap, cfg.ndt_map.min_points_per_cell, cell_cfg)
     use_prev = c.has_prev & (traj_len < lcfg.submap_overlap)
     fixed = matcher.FixedMaps(
-        index=jnp.stack([c.submap.index, c.prev_submap.index]),
+        index=(c.submap.index, c.prev_submap.index),
         mean=jnp.stack([f1[0], f2[0]]),
         cov=jnp.stack([f1[1], f2[1]]),
         valid=jnp.stack([f1[2], f2[2]]),

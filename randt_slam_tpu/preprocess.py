@@ -100,13 +100,22 @@ def filter_scan(
     ).astype(dtype)
 
     # ---- fixed window around each peak -------------------------------------
+    # The windows are contiguous spans, so extraction is one dynamic slice
+    # per row (Pallas kernel) over an image pre-padded by the window radius;
+    # out-of-bounds columns carry sentinel values (intensity 0, range -1e9)
+    # and are additionally excluded by the arithmetic ``in_bounds`` mask.
+    from .ops.window_slice import row_windows
+
     W = 2 * run_window + 1
     offsets = jnp.arange(-run_window, run_window + 1)  # (W,), center at run_window
     jw = peak_idx[:, None] + offsets[None, :]  # (A, W)
     in_bounds = (jw >= 0) & (jw < R)
-    jw_c = jnp.clip(jw, 0, R - 1)
-    I_w = jnp.take_along_axis(img, jw_c, axis=1)  # (A, W)
-    r_w = r[jw_c]  # (A, W)
+    img_pad = jnp.pad(img, ((0, 0), (run_window, run_window)))
+    r_pad = jnp.concatenate(
+        [jnp.full(run_window, -1e9, dtype), r.astype(dtype),
+         jnp.full(run_window, -1e9, dtype)]
+    )
+    I_w, r_w = row_windows(img_pad, r_pad, peak_idx, W)  # (A, W)
 
     c = run_window  # center column
     # Step legality between adjacent window slots (both directions):

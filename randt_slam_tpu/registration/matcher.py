@@ -50,7 +50,9 @@ class FixedMaps(NamedTuple):
     ``local_fuser.cpp:128-136``).  Sparse storage: a dense int32 index grid
     per map plus compact derived-field tables."""
 
-    index: jax.Array   # (F, H, W) int32 index grid (-1 = empty)
+    index: tuple       # F-tuple of (H, W) int32 index grids (-1 = empty);
+                       # kept unstacked so the (H, W) grids are not copied
+                       # into a fresh (F, H, W) buffer every frame
     mean: jax.Array    # (F, S, 3)
     cov: jax.Array     # (F, S, 3, 3)
     valid: jax.Array   # (F, S)
@@ -119,19 +121,19 @@ def estimate_window(
     Fn = fixed.mean.shape[0]
     radius = cfg.ndt_map.nn_window_radius
 
-    def assoc_one(f_idx, f_mu, f_cov, f_val, qm, qc, qv):
-        return G.window_neighbors_sparse(
-            geom, f_idx, f_mu, f_cov, f_val,
-            qm, qc, qv, K, radius,
-            use_distribution_metric=mcfg.lookup_distribution,
-        )
-
-    # vmap over fixed maps, then over window slots.
-    assoc = jax.vmap(
-        lambda qm, qc, qv: jax.vmap(
-            assoc_one, in_axes=(0, 0, 0, 0, None, None, None)
-        )(fixed.index, fixed.mean, fixed.cov, fixed.valid, qm, qc, qv)
-    )(q_mu.reshape(W, C, 3), q_cov.reshape(W, C, 3, 3), scans.valid)
+    # Static loop over fixed maps (keeps the (H, W) index grids unstacked),
+    # vmap over window slots.
+    per_map = []
+    for f in range(Fn):
+        nb = jax.vmap(
+            lambda qm, qc, qv, f=f: G.window_neighbors_sparse(
+                geom, fixed.index[f], fixed.mean[f], fixed.cov[f],
+                fixed.valid[f], qm, qc, qv, K, radius,
+                use_distribution_metric=mcfg.lookup_distribution,
+            )
+        )(q_mu.reshape(W, C, 3), q_cov.reshape(W, C, 3, 3), scans.valid)
+        per_map.append(nb)
+    assoc = jax.tree.map(lambda *a: jnp.stack(a, axis=1), *per_map)  # (W,F,...)
     # assoc.*: (W, F, C, K, ...)
     # Window size shrinks early in a submap: the anchor (pose-constant) state
     # is the OLDEST existing state, mirroring

@@ -84,7 +84,7 @@ def main():
     TB = cfg.capacity.traj_buffer
     f2 = dgf(carry.prev_submap)
     fixed = matcher.FixedMaps(
-        index=jnp.stack([carry.submap.index, carry.prev_submap.index]),
+        index=(carry.submap.index, carry.prev_submap.index),
         mean=jnp.stack([f1[0], f2[0]]), cov=jnp.stack([f1[1], f2[1]]),
         valid=jnp.stack([f1[2], f2[2]]),
         use=jnp.asarray([True, False]))

@@ -111,7 +111,7 @@ def test_structured_linearizer_matches_dense(monkeypatch):
     em, ec, ev = G.derive_sparse_fields(empty, cfg.ndt_map.min_points_per_cell,
                                         cfg.ndt_map.cell)
     fixed = matcher.FixedMaps(
-        index=jnp.stack([sub.index, empty.index]),
+        index=(sub.index, empty.index),
         mean=jnp.stack([tm, em]), cov=jnp.stack([tc, ec]),
         valid=jnp.stack([tv, ev]),
         use=jnp.asarray([True, False]))
