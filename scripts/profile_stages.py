@@ -40,7 +40,7 @@ def main():
     for i in range(T):
         fr = jax.tree.map(lambda a: a[i], frames)
         carry, _ = step(carry, fr)
-    jax.block_until_ready(carry.submap.n)
+    jax.block_until_ready(carry.submap.stats.n)
     fr = jax.tree.map(lambda a: a[T - 1], frames)
 
     scan_t = pp.PolarScan(intensity=fr.intensity, azimuths=fr.azimuths,
@@ -69,7 +69,7 @@ def main():
 
     # association parts
     geom = G.GridGeom.from_config(cfg.ndt_map)
-    dgf = jax.jit(lambda g: G.derive_grid_fields(g, cfg.ndt_map.min_points_per_cell, cell_cfg))
+    dgf = jax.jit(lambda g: G.derive_sparse_fields(g, cfg.ndt_map.min_points_per_cell, cell_cfg))
     f1 = dgf(carry.submap)
     jax.block_until_ready(f1)
     W = cfg.matcher.smoothing_steps
@@ -79,34 +79,25 @@ def main():
     poses = carry.states[-W:, :3]
     q_mu, q_cov = matcher.transform_mean_cov(poses, carry.scan_mean, carry.scan_cov)
 
-    # raw gather only
-    def gather_only(gm, qm):
+    # raw index-grid gather only (the sparse path's HBM-bound part)
+    def gather_index(idx, qm):
         ix, iy, inb = G.cell_index(geom, qm[..., :2])
         d = jnp.arange(-radius, radius + 1)
         dyy, dxx = jnp.meshgrid(d, d, indexing="ij")
         nx = ix[:, None] + dxx.reshape(-1)[None, :]
         ny = iy[:, None] + dyy.reshape(-1)[None, :]
         flat = jnp.clip(ny * geom.size_x + nx, 0, geom.size_x * geom.size_y - 1)
-        return gm.reshape(-1, 3)[flat]
-    go = jax.jit(jax.vmap(gather_only, in_axes=(None, 0)))
-    timeit("window gather only (mean, W slots)", go, f1[0], q_mu)
-
-    def gather_cov(gc, qm):
-        ix, iy, inb = G.cell_index(geom, qm[..., :2])
-        d = jnp.arange(-radius, radius + 1)
-        dyy, dxx = jnp.meshgrid(d, d, indexing="ij")
-        nx = ix[:, None] + dxx.reshape(-1)[None, :]
-        ny = iy[:, None] + dyy.reshape(-1)[None, :]
-        flat = jnp.clip(ny * geom.size_x + nx, 0, geom.size_x * geom.size_y - 1)
-        return gc.reshape(-1, 9)[flat]
-    gc_ = jax.jit(jax.vmap(gather_cov, in_axes=(None, 0)))
-    timeit("window gather only (cov, W slots)", gc_, f1[1].reshape(*f1[1].shape[:2], 9), q_mu)
+        return idx.reshape(-1)[flat]
+    go = jax.jit(jax.vmap(gather_index, in_axes=(None, 0)))
+    timeit("index-grid window gather (W slots)", go, carry.submap.index, q_mu)
 
     wn = jax.jit(jax.vmap(
-        lambda qm, qc, qv: G.window_neighbors(
-            geom, f1[0], f1[1], f1[2], qm, qc, qv, K, radius,
+        lambda qm, qc, qv: G.window_neighbors_sparse(
+            geom, carry.submap.index, f1[0], f1[1], f1[2], qm, qc, qv,
+            K, radius,
             use_distribution_metric=cfg.matcher.lookup_distribution)))
-    timeit("window_neighbors full (W slots, 1 map)", wn, q_mu, q_cov, carry.scan_valid)
+    timeit("window_neighbors_sparse (W slots, 1 map)", wn,
+           q_mu, q_cov, carry.scan_valid)
 
 
 if __name__ == "__main__":
