@@ -81,7 +81,7 @@ class MapConfig:
         top-k over it (see ``ndt/grid.py``).
         """
         r = int(self.max_neighbour_linf_distance / self.resolution) - 1
-        return max(1, min(r, 4))
+        return max(1, r)
 
 
 @dataclass(frozen=True)
@@ -441,6 +441,19 @@ def from_reference_yaml(*yaml_paths: str, capacity: CapacityConfig | None = None
             if tf is not None:
                 v = tf(v)
             cfg = _set_path(cfg, attr, v)
+    # Absent-key cascades from matcher params (``ndt_slam.cpp:573-586,614-616``):
+    # the reference falls back to the matcher value only when the YAML omits
+    # the loop-closure key.
+    lf_yaml = merged.get("local_fuser", {})
+    if "loop_closure_gnc_steps" not in lf_yaml:
+        cfg = _set_path(cfg, "local_fuser.loop_closure_gnc_steps",
+                        cfg.matcher.gnc_steps)
+    if "loop_closure_scale" not in lf_yaml:
+        cfg = _set_path(cfg, "local_fuser.loop_closure_scale",
+                        cfg.matcher.loss_function_scale)
+    if "use_intensity_in_loop_closure" not in lf_yaml:
+        cfg = _set_path(cfg, "local_fuser.use_intensity_in_loop_closure",
+                        cfg.matcher.use_intensity_as_dimension)
     if capacity is not None:
         cfg = dataclasses.replace(cfg, capacity=capacity)
     return derive(cfg)
@@ -449,10 +462,39 @@ def from_reference_yaml(*yaml_paths: str, capacity: CapacityConfig | None = None
 def oxford_config(**overrides) -> SlamConfig:
     """The Oxford Radar RobotCar configuration (``parameters_oxford.yaml``),
     with derived parameters applied.  Defaults above already encode the
-    Oxford values; this just runs the meter->cell derivation."""
+    Oxford values; this just runs the meter->cell derivation.
+
+    Note the YAML's ``size_x: 400`` comment claims cells, but the reference
+    loader divides by the resolution regardless (``ndt_slam.cpp:653-654``) —
+    the actual Oxford NDT grid is 400 m / 3.5 m = 114x114 cells.
+    """
     cfg = SlamConfig(
-        ndt_map=MapConfig(size_x=1400, size_y=1400),  # 400 cells * 3.5 m
+        ndt_map=MapConfig(size_x=400, size_y=400),  # meters -> 114 cells
         ogm=OGMConfig(size_x=90, size_y=40, resolution=0.1),
+    )
+    cfg = derive(cfg)
+    for k, v in overrides.items():
+        cfg = _set_path(cfg, k, v)
+    return cfg
+
+
+def synthetic_config(**overrides) -> SlamConfig:
+    """Moderate-scale preset tuned for the synthetic radar world
+    (``io/synthetic.py``); the CLI's ``--config synthetic`` choice."""
+    cfg = SlamConfig(
+        ndt_map=MapConfig(size_x=300, size_y=300, resolution=3.0,
+                          min_points_per_cell=8,
+                          max_neighbour_linf_distance=9.0),
+        preprocessor=PreprocessorConfig(min_range=2.0, max_range=80.0,
+                                        min_intensity=40.0,
+                                        beam_distance_increment_threshold=1.0),
+        matcher=MatcherConfig(smoothing_steps=3, gnc_steps=2,
+                              lm_max_iterations=12),
+        local_fuser=LocalFuserConfig(submap_size_poses=20, submap_overlap=10,
+                                     insertion_step=2),
+        capacity=CapacityConfig(max_points=4096, max_scan_cells=256,
+                                max_azimuths=256, max_range_bins=256,
+                                max_submap_cells=1024, max_submaps=8),
     )
     cfg = derive(cfg)
     for k, v in overrides.items():

@@ -1,4 +1,6 @@
-"""ctypes bindings for the native host-side runtime (``native/``).
+"""ctypes bindings for the native host-side runtime
+(``randt_slam_tpu/native/``, shipped as package data so installed wheels keep
+the native fast path).
 
 Compiles ``librandt_native.so`` on first use (g++, no external deps) and
 exposes:
@@ -20,8 +22,8 @@ import threading
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "native")
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "librandt_native.so")
 _lock = threading.Lock()
 _lib = None

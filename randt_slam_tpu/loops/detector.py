@@ -164,7 +164,10 @@ def detect_loops(
     m_valid = valid[q_idx]
 
     if lcfg.csm_prealign_loops:
-        presearch = jax.jit(jax.vmap(partial(matcher.global_grid_search, cfg)))
+        presearch = jax.jit(jax.vmap(partial(
+            matcher.global_grid_search, cfg,
+            use_intensity=bool(lcfg.use_intensity_in_loop_closure),
+        )))
         init_guess, _ = presearch(
             init_guess, f_mean, f_cov, f_valid, m_mean, m_cov, m_valid
         )
@@ -316,6 +319,7 @@ def detect_loops_mahalanobis(
             presearch = jax.jit(jax.vmap(partial(
                 matcher.global_grid_search, cfg,
                 search_window_linear=win_l, search_window_angular=win_a,
+                use_intensity=bool(lcfg.use_intensity_in_loop_closure),
             )))
             init_guess, _ = presearch(
                 init_guess, f_mean, f_cov, f_valid, m_mean, m_cov, m_valid

@@ -256,6 +256,22 @@ def compact(c: CellStats, k: int):
     return CellStats(n=c.n[idx], s=c.s[idx], ss=c.ss[idx]), idx
 
 
+def mahalanobis_sq_position(mu_a, cov_a, mu_b, cov_b):
+    """2-D position-block L2 distance between two distributions
+    (``Cell::mahalanobisSquared``, ``ndt_cell.cpp:165-170``).  Defined but
+    never called by the reference's default paths (its non-intensity NN
+    lookup is Euclidean, ``ndt_map.cpp:101-126``); provided for parity.
+    Accepts 3-D cell fields and slices the position blocks."""
+    dx = mu_b[..., 0] - mu_a[..., 0]
+    dy = mu_b[..., 1] - mu_a[..., 1]
+    s00 = cov_a[..., 0, 0] + cov_b[..., 0, 0]
+    s01 = cov_a[..., 0, 1] + cov_b[..., 0, 1]
+    s11 = cov_a[..., 1, 1] + cov_b[..., 1, 1]
+    det = s00 * s11 - s01 * s01
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    return (s11 * dx * dx - 2.0 * s01 * dx * dy + s00 * dy * dy) / det
+
+
 def mahalanobis_sq_intensity(mu_a, cov_a, mu_b, cov_b):
     """L2 distance between two 3-D distributions:
     (mu_b - mu_a)^T (cov_a + cov_b)^{-1} (mu_b - mu_a)

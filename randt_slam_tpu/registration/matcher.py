@@ -110,6 +110,11 @@ def estimate_window(
     K = mcfg.n_results_nn_lookup
     geom = G.GridGeom.from_config(cfg.ndt_map)
     dtype = states.dtype
+    # ``use_intensity_as_dimension`` selects the 3-D vs 2-D D2D residual and
+    # the NN metric: the reference's non-intensity path always looks up by
+    # Euclidean position (``ndt_matcher.cpp:252-257``).
+    use_int = bool(mcfg.use_intensity_as_dimension)
+    lookup_dist = bool(mcfg.lookup_distribution) and use_int
 
     # ---- data association (once per frame, at current estimates) ----------
     # Query cells of window slot j (state row j, scan slot j-1), transformed
@@ -129,7 +134,7 @@ def estimate_window(
             lambda qm, qc, qv, f=f: G.window_neighbors_sparse(
                 geom, fixed.index[f], fixed.mean[f], fixed.cov[f],
                 fixed.valid[f], qm, qc, qv, K, radius,
-                use_distribution_metric=mcfg.lookup_distribution,
+                use_distribution_metric=lookup_dist,
             )
         )(q_mu.reshape(W, C, 3), q_cov.reshape(W, C, 3, 3), scans.valid)
         per_map.append(nb)
@@ -173,7 +178,8 @@ def estimate_window(
         p = p_flat.reshape(W + 1, 9)
         pose_w = p[1:, :3]  # (W, 3)
         r_ndt = R.ndt_residual(
-            pose_w[:, None, None, None, :], m_mean_b, m_cov_b, assoc.mean, assoc.cov
+            pose_w[:, None, None, None, :], m_mean_b, m_cov_b,
+            assoc.mean, assoc.cov, use_intensity=use_int,
         )  # (W, F, C, K)
         r_mot = jax.vmap(R.motion_residual, in_axes=(0, 0, 0, None))(
             p[:-1], p[1:], dts, sqrtI
@@ -239,7 +245,8 @@ def estimate_window(
         return jnp.concatenate([r_mot.reshape(-1), r_imu.reshape(-1)])
 
     def slot_residual(pose, mm, mc, am, ac):
-        return R.ndt_residual(pose[None, None, None, :], mm, mc, am, ac)  # (F,C,K)
+        return R.ndt_residual(pose[None, None, None, :], mm, mc, am, ac,
+                              use_intensity=use_int)  # (F,C,K)
 
     def linearize_fn(p_flat, mu):
         p = p_flat.reshape(W + 1, 9)
@@ -329,6 +336,7 @@ def global_grid_search(
     search_window_linear=None,
     search_window_angular=None,
     beam_width: int = 16,
+    use_intensity=None,
 ):
     """Correlative-scan-matching global search
     (``Matcher::estimateTransformGlobalBNB``, ``ndt_matcher.cpp:495-608``).
@@ -341,8 +349,18 @@ def global_grid_search(
     set with fixed shapes.  Scoring matches the reference: robust Barron cost
     (no GNC, :517) averaged over residual pairs, with association made ONCE
     at the center pose (:520).
+
+    ``csm_cost_threshold`` pruning (``ndt_matcher.cpp:544-561``): candidates
+    at or above the threshold are never expanded, and the returned optimum is
+    taken only over below-threshold candidates.  If NO candidate ever scores
+    below the threshold the reference returns an identity transform and cost
+    1e5; here the initial pose and cost ``inf`` are returned instead
+    (documented deviation — the identity return is a reference quirk that
+    discards the initial guess entirely).
     """
     mcfg = cfg.matcher
+    if use_intensity is None:
+        use_intensity = bool(mcfg.use_intensity_as_dimension)
     win_l = mcfg.csm_window_linear if search_window_linear is None else min(
         search_window_linear, mcfg.csm_window_linear)
     win_a = mcfg.csm_window_angular if search_window_angular is None else min(
@@ -361,7 +379,7 @@ def global_grid_search(
     cutoff = max(cutoff, 0.5 * win_l + cfg.ndt_map.resolution)
     assoc = G.allpairs_neighbors(
         f_mean, f_cov, f_valid, q_mu, q_cov, m_valid, K, cutoff,
-        use_distribution_metric=mcfg.lookup_distribution,
+        use_distribution_metric=bool(mcfg.lookup_distribution) and use_intensity,
     )
     pair_valid = assoc.valid
     eye3 = jnp.eye(3, dtype=m_cov.dtype)
@@ -376,7 +394,7 @@ def global_grid_search(
     def score(poses):  # (B, 3) -> (B,) mean robust cost
         r = R.ndt_residual(
             poses[:, None, None, :], m_mu_b[None], m_cov_b[None],
-            assoc.mean[None], assoc.cov[None],
+            assoc.mean[None], assoc.cov[None], use_intensity=use_intensity,
         )
         rho = barron.rho(r * r, mcfg.loss_function_scale,
                          mcfg.loss_function_convexity, 1.0)
@@ -394,20 +412,44 @@ def global_grid_search(
     cands = compose(init_pose[None, :], local)
     costs = score(cands)
 
+    thresh = jnp.asarray(mcfg.csm_cost_threshold, costs.dtype)
+
+    def fold_best(best_pose, best_cost, cands, costs):
+        """Running optimum over below-threshold candidates only."""
+        masked = jnp.where(costs < thresh, costs, jnp.inf)
+        i = jnp.argmin(masked)
+        take = masked[i] < best_cost
+        return (
+            jnp.where(take, cands[i], best_pose),
+            jnp.minimum(masked[i], best_cost),
+        )
+
+    best_pose, best_cost = fold_best(
+        init_pose, jnp.asarray(jnp.inf, costs.dtype), cands, costs
+    )
+
     offs = jnp.asarray(
         [[dx, dy, da] for dx in (-1.0, 0.0, 1.0) for dy in (-1.0, 0.0, 1.0)
          for da in (-1.0, 0.0, 1.0)]
     )
     for level in range(1, n_iter + 1):
-        top_c, top_i = jax.lax.top_k(-costs, min(beam_width, costs.shape[0]))
+        # Only below-threshold candidates may seed expansions (:544).
+        expandable = jnp.where(costs < thresh, costs, jnp.inf)
+        top_c, top_i = jax.lax.top_k(
+            -expandable, min(beam_width, costs.shape[0])
+        )
+        parent_ok = jnp.isfinite(top_c)
         best = cands[top_i]
         step = (2.0 ** max(n_iter - 1 - level, -1)) * lin_step
         local = offs * jnp.asarray([step, step, ang_step])
         cands = compose(best[:, None, :], local[None, :, :]).reshape(-1, 3)
         costs = score(cands)
+        costs = jnp.where(
+            jnp.repeat(parent_ok, offs.shape[0]), costs, jnp.inf
+        )
+        best_pose, best_cost = fold_best(best_pose, best_cost, cands, costs)
 
-    best_i = jnp.argmin(costs)
-    return cands[best_i], costs[best_i]
+    return best_pose, best_cost
 
 
 class LoopEstimate(NamedTuple):
@@ -427,17 +469,21 @@ def estimate_loop(
     (``Matcher::estimateLoopConstraint``, ``ndt_matcher.cpp:426-493``).
 
     The fixed submap is compacted (flat cell list), so association is a
-    masked all-pairs top-k with the search-window L-inf cutoff.
+    masked all-pairs top-k with the search-window L-inf cutoff.  The loop
+    path uses ``use_intensity_in_loop_closure`` for the residual/lookup
+    variant (``local_fuser.cpp:335``), cascading from
+    ``use_intensity_as_dimension`` when unset.
     """
     mcfg = cfg.matcher
     lcfg = cfg.local_fuser
     K = mcfg.n_results_nn_lookup
+    use_int = bool(lcfg.use_intensity_in_loop_closure)
 
     q_mu, q_cov = transform_mean_cov(init_pose, m_mean, m_cov)
     cutoff = (cfg.ndt_map.nn_window_radius + 0.5) * cfg.ndt_map.resolution
     assoc = G.allpairs_neighbors(
         f_mean, f_cov, f_valid, q_mu, q_cov, m_valid, K, cutoff,
-        use_distribution_metric=mcfg.lookup_distribution,
+        use_distribution_metric=bool(mcfg.lookup_distribution) and use_int,
     )
     pair_valid = assoc.valid.reshape(-1)
     eye3 = jnp.eye(3, dtype=m_cov.dtype)
@@ -448,7 +494,8 @@ def estimate_loop(
 
     def residual_fn(pose):
         r = R.ndt_residual(
-            pose[None, None, :], m_mu_b, m_cov_b, assoc.mean, assoc.cov
+            pose[None, None, :], m_mu_b, m_cov_b, assoc.mean, assoc.cov,
+            use_intensity=use_int,
         )
         return r.reshape(-1), jnp.zeros((1,), pose.dtype)
 

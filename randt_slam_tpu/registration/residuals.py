@@ -139,8 +139,42 @@ def ndt_residual_sq(pose, m_mean, m_cov, f_mean, f_cov):
     return jnp.einsum("...i,...i->...", d, sol)
 
 
-def ndt_residual(pose, m_mean, m_cov, f_mean, f_cov, eps=1e-12):
+def ndt_residual_sq_2d(pose, m_mean, m_cov, f_mean, f_cov):
+    """Squared 2-D (non-intensity) D2D residual.
+
+    ``use_intensity_as_dimension: false`` variant
+    (``NDTFrameToMapFactorResidual``, ``ceres_residuals.h:421-451``):
+    r^2 = d^T (R cov_m R^T + cov_f)^{-1} d over the POSITION blocks only;
+    cell fields are passed 3-D and sliced here so both variants share data
+    layout.
+    """
+    th = pose[..., 2]
+    c, s = jnp.cos(th), jnp.sin(th)
+    mx, my = m_mean[..., 0], m_mean[..., 1]
+    dx = c * mx - s * my + pose[..., 0] - f_mean[..., 0]
+    dy = s * mx + c * my + pose[..., 1] - f_mean[..., 1]
+
+    a, b, d = m_cov[..., 0, 0], m_cov[..., 0, 1], m_cov[..., 1, 1]
+    r00 = c * (c * a - s * b) - s * (c * b - s * d)
+    r01 = c * (s * a + c * b) - s * (s * b + c * d)
+    r11 = s * (s * a + c * b) + c * (s * b + c * d)
+    s00 = r00 + f_cov[..., 0, 0]
+    s01 = r01 + f_cov[..., 0, 1]
+    s11 = r11 + f_cov[..., 1, 1]
+    det = s00 * s11 - s01 * s01
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    return (s11 * dx * dx - 2.0 * s01 * dx * dy + s00 * dy * dy) / det
+
+
+def ndt_residual(pose, m_mean, m_cov, f_mean, f_cov, eps=1e-12,
+                 use_intensity: bool = True):
     """Whitened D2D residual r = sqrt(r^2), clamped away from zero for a
     finite Jacobian (Ceres divides by the residual the same way,
-    ``ceres_residuals.h:240-247``)."""
-    return jnp.sqrt(jnp.maximum(ndt_residual_sq(pose, m_mean, m_cov, f_mean, f_cov), eps))
+    ``ceres_residuals.h:240-247``).  ``use_intensity`` selects the 3-D
+    intensity-augmented form (:486-518) or the 2-D position-only form
+    (:421-451)."""
+    if use_intensity:
+        r2 = ndt_residual_sq(pose, m_mean, m_cov, f_mean, f_cov)
+    else:
+        r2 = ndt_residual_sq_2d(pose, m_mean, m_cov, f_mean, f_cov)
+    return jnp.sqrt(jnp.maximum(r2, eps))

@@ -54,10 +54,7 @@ def load_config(args):
         return CFG.oxford_config()
     if args.config == "indoor":
         return CFG.indoor_config()
-    # synthetic preset: moderate scale
-    from tests.test_odometry_e2e import small_cfg  # reuse the tuned preset
-
-    return small_cfg()
+    return CFG.synthetic_config()
 
 
 def load_frames(args, cfg):

@@ -15,22 +15,9 @@ from randt_slam_tpu.pipeline import slam
 
 
 def small_cfg():
-    cfg = SlamConfig(
-        ndt_map=MapConfig(size_x=300, size_y=300, resolution=3.0,
-                          min_points_per_cell=8,
-                          max_neighbour_linf_distance=9.0),
-        preprocessor=PreprocessorConfig(min_range=2.0, max_range=80.0,
-                                        min_intensity=40.0,
-                                        beam_distance_increment_threshold=1.0),
-        matcher=MatcherConfig(smoothing_steps=3, gnc_steps=2,
-                              lm_max_iterations=12),
-        local_fuser=LocalFuserConfig(submap_size_poses=20, submap_overlap=10,
-                                     insertion_step=2),
-        capacity=CapacityConfig(max_points=4096, max_scan_cells=256,
-                                max_azimuths=256, max_range_bins=256,
-                                max_submap_cells=1024, max_submaps=8),
-    )
-    return derive(cfg)
+    from randt_slam_tpu.config import synthetic_config
+
+    return synthetic_config()
 
 
 @pytest.fixture(scope="module")

@@ -112,3 +112,90 @@ def test_estimate_loop_robust_to_outlier_cells():
     init = jnp.asarray([0.6, 0.2, 0.0])
     est = matcher.estimate_loop(cfg, init, f_mu, f_cov, valid, m_mu, m_cov, valid)
     np.testing.assert_allclose(np.asarray(est.pose), np.asarray(true_pose), atol=0.1)
+
+
+def test_ndt_residual_2d_matches_numpy_oracle():
+    """2-D non-intensity D2D residual (``ceres_residuals.h:421-451``):
+    closed-form check against a dense numpy evaluation."""
+    rng = np.random.default_rng(7)
+    pose = np.array([0.7, -0.3, 0.4])
+    m_mu, m_cov = _random_cells(rng, 12)
+    f_mu, f_cov = _random_cells(rng, 12)
+    got = np.asarray(R.ndt_residual_sq_2d(
+        jnp.asarray(pose), m_mu, m_cov, f_mu, f_cov))
+    c, s = np.cos(pose[2]), np.sin(pose[2])
+    Rm = np.array([[c, -s], [s, c]])
+    for i in range(12):
+        d = Rm @ np.asarray(m_mu)[i, :2] + pose[:2] - np.asarray(f_mu)[i, :2]
+        S = Rm @ np.asarray(m_cov)[i, :2, :2] @ Rm.T + np.asarray(f_cov)[i, :2, :2]
+        want = float(d @ np.linalg.solve(S, d))
+        np.testing.assert_allclose(got[i], want, rtol=2e-4)
+
+
+def test_mahalanobis_position_matches_intensity_limit():
+    """As the intensity variance grows with decoupled blocks, the 3-D cell
+    distance converges to the 2-D position distance
+    (``ndt_cell.cpp:165-176``)."""
+    from randt_slam_tpu.ndt import cells as C
+
+    rng = np.random.default_rng(3)
+    mu_a, cov_a = _random_cells(rng, 8)
+    mu_b, cov_b = _random_cells(rng, 8)
+    big = 1e7
+    cov_a = cov_a.at[:, 2, 2].set(big)
+    cov_b = cov_b.at[:, 2, 2].set(big)
+    d3 = np.asarray(C.mahalanobis_sq_intensity(mu_a, cov_a, mu_b, cov_b))
+    d2 = np.asarray(C.mahalanobis_sq_position(mu_a, cov_a, mu_b, cov_b))
+    np.testing.assert_allclose(d3, d2, rtol=1e-3)
+
+
+def test_estimate_loop_non_intensity_variant():
+    """``use_intensity_in_loop_closure: false`` solves the same alignment on
+    position blocks only."""
+    import dataclasses
+
+    from randt_slam_tpu.config import LocalFuserConfig
+
+    rng = np.random.default_rng(5)
+    cfg = derive(SlamConfig(
+        ndt_map=MapConfig(size_x=200, size_y=200, resolution=2.0),
+        matcher=MatcherConfig(use_intensity_as_dimension=False),
+        local_fuser=LocalFuserConfig(use_intensity_in_loop_closure=False),
+    ))
+    n = 60
+    m_mu, m_cov = _random_cells(rng, n)
+    true_pose = jnp.asarray([1.0, -0.6, 0.12])
+    f_mu, f_cov = matcher.transform_mean_cov(true_pose, m_mu, m_cov)
+    # Scramble intensity means of the fixed cells: the 2-D variant must not
+    # care, proving the flag switches the residual.
+    f_mu = f_mu.at[:, 2].set(jnp.asarray(rng.uniform(40, 120, n), jnp.float32))
+    valid = jnp.ones(n, bool)
+    init = jnp.asarray([0.7, -0.4, 0.05])
+    est = matcher.estimate_loop(cfg, init, f_mu, f_cov, valid, m_mu, m_cov, valid)
+    np.testing.assert_allclose(np.asarray(est.pose), np.asarray(true_pose),
+                               atol=0.05)
+
+
+def test_window_estimator_non_intensity_end_to_end():
+    """Full synthetic odometry with ``use_intensity_as_dimension: false``:
+    the pipeline must run and track (closing VERDICT.md missing item 3)."""
+    import dataclasses
+
+    from randt_slam_tpu.config import synthetic_config
+    from randt_slam_tpu.io import formats, synthetic
+    from randt_slam_tpu.pipeline import slam
+
+    cfg = synthetic_config()
+    cfg = dataclasses.replace(
+        cfg,
+        matcher=dataclasses.replace(cfg.matcher,
+                                    use_intensity_as_dimension=False),
+    )
+    seq = synthetic.generate(seed=3, n_frames=24, n_azimuths=256, n_bins=256,
+                             speed=4.0, dt=0.25)
+    frames = slam.frames_from_arrays(
+        seq.intensity, seq.azimuths, seq.ranges, seq.stamps
+    )
+    res = slam.run_odometry(cfg, frames, use_scan=True)
+    err = formats.ate(res.odom_poses, seq.gt_poses[:24], align=True)
+    assert np.isfinite(err) and err < 2.0, f"2-D variant diverged: ATE {err}"
