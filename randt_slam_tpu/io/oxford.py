@@ -36,6 +36,7 @@ class RadarSequence(NamedTuple):
     ranges: np.ndarray     # (R,)
     stamps: np.ndarray     # (T,) seconds (re-based to 0)
     gt_poses: np.ndarray | None
+    imu_yaw: np.ndarray | None = None  # (T,) absolute yaw readings [rad]
 
 
 def decode_radar_png(data: np.ndarray, downsample_bins: int = 1):
@@ -71,7 +72,67 @@ def load_npz_sequence(path: str, max_frames: int | None = None) -> RadarSequence
         stamps=stamps,
         gt_poses=np.asarray(data["gt_poses"][:T], np.float32)
         if "gt_poses" in data else None,
+        imu_yaw=np.asarray(data["imu_yaw"][:T], np.float32)
+        if "imu_yaw" in data else None,
     )
+
+
+def load_gt_radar_odometry(csv_path: str) -> tuple:
+    """Parse the Oxford dataset's ``gt/radar_odometry.csv``.
+
+    Each row holds the relative SE(3) motion between consecutive radar scans
+    (columns include x, y, z, roll, pitch, yaw and the source/destination
+    radar timestamps).  Returns (stamps (T,), gt_poses (T, 3)) with the
+    relative planar motions composed into absolute SE(2) poses, first pose =
+    identity at the first source timestamp.
+    """
+    data = np.genfromtxt(csv_path, delimiter=",", names=True)
+    dx = np.asarray(data["x"], np.float64)
+    dy = np.asarray(data["y"], np.float64)
+    dyaw = np.asarray(data["yaw"], np.float64)
+    # radar timestamps if present (the dataset ships both UNIX and radar
+    # clock columns); fall back to the generic source timestamp
+    for key in ("source_radar_timestamp", "source_timestamp"):
+        if key in (data.dtype.names or ()):
+            t0 = np.asarray(data[key], np.float64)
+            break
+    else:  # pragma: no cover - malformed file
+        raise ValueError("no timestamp column in radar_odometry.csv")
+    T = len(dx) + 1
+    poses = np.zeros((T, 3), np.float64)
+    for k in range(len(dx)):
+        x, y, th = poses[k]
+        c, s = np.cos(th), np.sin(th)
+        poses[k + 1, 0] = x + c * dx[k] - s * dy[k]
+        poses[k + 1, 1] = y + s * dx[k] + c * dy[k]
+        poses[k + 1, 2] = np.arctan2(np.sin(th + dyaw[k]), np.cos(th + dyaw[k]))
+    stamps = np.concatenate([t0, t0[-1:] + (t0[-1] - t0[-2])]) * 1e-6
+    return stamps.astype(np.float64), poses.astype(np.float32)
+
+
+def convert_png_directory(radar_dir: str, out_npz: str,
+                          gt_csv: str | None = None,
+                          max_frames: int | None = None,
+                          downsample_bins: int = 4) -> str:
+    """Convert a raw Oxford sequence (``radar/`` PNG directory + optional
+    ``gt/radar_odometry.csv``) into the canonical ``.npz`` interchange format
+    consumed by ``randt_slam_tpu.run --input seq.npz``.
+
+    Ground-truth poses are nearest-stamp-associated to the radar frames.
+    """
+    seq = load_png_directory(radar_dir, max_frames=max_frames,
+                             downsample_bins=downsample_bins)
+    payload = dict(intensity=seq.intensity.astype(np.float16),
+                   azimuths=seq.azimuths, ranges=seq.ranges,
+                   stamps=seq.stamps)
+    if gt_csv is not None:
+        gt_stamps, gt_poses = load_gt_radar_odometry(gt_csv)
+        gt_stamps = gt_stamps - gt_stamps[0]
+        idx = np.clip(np.searchsorted(gt_stamps, seq.stamps), 0,
+                      len(gt_poses) - 1)
+        payload["gt_poses"] = gt_poses[idx]
+    np.savez_compressed(out_npz, **payload)
+    return out_npz
 
 
 def load_png_directory(radar_dir: str, max_frames: int | None = None,

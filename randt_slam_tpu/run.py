@@ -69,12 +69,14 @@ def load_frames(args, cfg):
             n_bins=256, loop=args.loop,
         )
         frames = slam.frames_from_arrays(
-            seq.intensity, seq.azimuths, seq.ranges, seq.stamps
+            seq.intensity, seq.azimuths, seq.ranges, seq.stamps,
+            imu_yaw=seq.imu_yaw,
         )
         return frames, seq.gt_poses, seq.stamps
     seq = oxford.load_npz_sequence(args.input, max_frames=args.frames)
     frames = slam.frames_from_arrays(
-        seq.intensity, seq.azimuths, seq.ranges, seq.stamps
+        seq.intensity, seq.azimuths, seq.ranges, seq.stamps,
+        imu_yaw=getattr(seq, "imu_yaw", None),
     )
     return frames, seq.gt_poses, seq.stamps
 
