@@ -113,7 +113,7 @@ def load_gt_radar_odometry(csv_path: str) -> tuple:
 def convert_png_directory(radar_dir: str, out_npz: str,
                           gt_csv: str | None = None,
                           max_frames: int | None = None,
-                          downsample_bins: int = 4) -> str:
+                          downsample_bins: int = 2) -> str:
     """Convert a raw Oxford sequence (``radar/`` PNG directory + optional
     ``gt/radar_odometry.csv``) into the canonical ``.npz`` interchange format
     consumed by ``randt_slam_tpu.run --input seq.npz``.
@@ -136,10 +136,15 @@ def convert_png_directory(radar_dir: str, out_npz: str,
 
 
 def load_png_directory(radar_dir: str, max_frames: int | None = None,
-                       downsample_bins: int = 4) -> RadarSequence:
+                       downsample_bins: int = 2) -> RadarSequence:
     """Load a raw Oxford ``radar/`` directory of per-frame PNGs (requires
-    PIL).  Range bins are max-pooled by ``downsample_bins`` (4 -> 17.3 cm
-    bins, still far below the 3.5 m NDT resolution)."""
+    PIL).  Range bins are max-pooled by ``downsample_bins``.
+
+    The default is 2 (8.64 cm bins): the Oxford preprocessor config gates
+    peak-run expansion at ``beam_distance_increment_threshold: 0.12`` m
+    between adjacent returns (``parameters_oxford.yaml:102``), so bins wider
+    than 0.12 m (e.g. the previous 4x = 17.3 cm default) would break every
+    run at the peak and starve cells of points."""
     from PIL import Image  # noqa: deferred; optional dependency
 
     files = sorted(

@@ -61,21 +61,29 @@ def _keyframe_features(cfg: SlamConfig, frames, node_frames, sensor_to_base,
     reference's use of the preprocessor debug cloud
     (``local_fuser.h:139-141`` -> ``makeAndSaveScancontextAndKeys``).
     """
-    def one(idx):
-        fr = jax.tree.map(lambda x: x[idx], frames)
+    def one(fr):
         scan, filt = F.build_scan_cells(cfg, fr, sensor_to_base)
         desc = SC.make_descriptor(
             filt.polar, filt.points[:, 2], filt.mask, cfg.scan_context
         )
         return scan.mean, scan.cov, scan.valid, scan.stats, desc
 
+    # Frames are gathered on the HOST per fixed-size chunk (padded by
+    # repeating the last index) so the sequence can stay off-device
+    # (``frames_from_arrays(host=True)``) and the jitted batch never
+    # recompiles for a ragged tail.
     fn = jax.jit(jax.vmap(one))
     outs = []
-    node_frames = jnp.asarray(node_frames, jnp.int32)
-    for lo in range(0, len(node_frames), chunk):
-        outs.append(fn(node_frames[lo:lo + chunk]))
+    node_frames = np.asarray(node_frames, np.int64)
+    N = len(node_frames)
+    for lo in range(0, N, chunk):
+        idx = node_frames[lo:lo + chunk]
+        if len(idx) < chunk:
+            idx = np.concatenate([idx, np.full(chunk - len(idx), idx[-1])])
+        sub = jax.tree.map(lambda x: jnp.asarray(x[idx]), frames)
+        outs.append(fn(sub))
     mean, cov, valid, stats, desc = jax.tree.map(
-        lambda *xs: jnp.concatenate(xs, axis=0), *outs
+        lambda *xs: jnp.concatenate(xs, axis=0)[:N], *outs
     )
     rk = jax.vmap(SC.ring_key)(desc)
     return mean, cov, valid, stats, desc, rk

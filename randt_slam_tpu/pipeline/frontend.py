@@ -128,6 +128,11 @@ class FrameOutput(NamedTuple):
     finished_origin: jax.Array  # (3,) origin pose of the finished submap
     rejected: jax.Array       # () bool pose-jump rejection
     n_residuals: jax.Array    # () int32
+    # capacity-saturation telemetry (padded-tensor overflow would otherwise
+    # silently degrade maps — VERDICT.md weak item 7)
+    scan_saturated: jax.Array = jnp.bool_(False)   # scan cell budget full
+    submap_saturated: jax.Array = jnp.bool_(False)  # submap table full
+    store_saturated: jax.Array = jnp.bool_(False)   # submap store full
 
 
 # ---------------------------------------------------------------------------
@@ -277,7 +282,18 @@ def frontend_step(cfg: SlamConfig, carry: FrontendCarry, frame: Frame,
     def no_complete(c):
         return c, out1
 
-    return jax.lax.cond(complete, on_complete, no_complete, carry1)
+    carry2, out = jax.lax.cond(complete, on_complete, no_complete, carry1)
+    # Saturation telemetry: the smallest kept scan cell still being a valid
+    # distribution means valid cells may have been dropped by the top-k
+    # budget; table/store fullness means scatter drops.
+    cap = cfg.capacity
+    scan_sat = jnp.min(scan.stats.n) > float(cfg.ndt_map.min_points_per_cell)
+    out = out._replace(
+        scan_saturated=scan_sat,
+        submap_saturated=carry2.submap.count >= cap.max_submap_cells,
+        store_saturated=carry2.n_finished >= cap.max_submaps,
+    )
+    return carry2, out
 
 
 def _start_new_submap(cfg: SlamConfig, c: FrontendCarry) -> FrontendCarry:

@@ -77,6 +77,8 @@ class OnlineSlam:
         self._node_cells: dict[int, tuple] = {}
         self._recent_frames: dict[int, object] = {}
         self.odom_trace: list[np.ndarray] = []
+        # per-submap OGM counting grids (online raytrace cadence)
+        self._count_grids: dict[int, np.ndarray] = {}
 
     # -- helpers -------------------------------------------------------------
 
@@ -96,7 +98,7 @@ class OnlineSlam:
         desc = SC.make_descriptor(
             filt.polar, filt.points[:, 2], filt.mask, self.cfg.scan_context
         )
-        return scan, desc
+        return scan, desc, filt.beams, filt.beam_mask
 
     def _record_outputs(self, frame, out):
         nodes = jax.tree.map(np.asarray, out.nodes)
@@ -114,9 +116,18 @@ class OnlineSlam:
             self.node_is_root.append(bool(nodes.is_root[k]))
             # ScanContext insert (``makeAndSaveScancontextAndKeys``).  Nodes
             # are emitted ``insertion_delay`` frames late, so pull the node's
-            # own frame from the short history buffer.
-            fr = self._recent_frames.get(int(nodes.frame_idx[k]), frame)
-            scan, desc = self._features(fr)
+            # own frame from the history buffer.  The buffer horizon is sized
+            # from the queue capacity (see ``process_frame``), so a miss is a
+            # real bug — fail loudly instead of silently corrupting the loop
+            # database with the wrong frame's descriptor.
+            src = int(nodes.frame_idx[k])
+            if src not in self._recent_frames:
+                raise RuntimeError(
+                    f"keyframe node {nid}'s source frame {src} aged out of "
+                    f"the {len(self._recent_frames)}-frame history buffer "
+                    f"(current frame {int(frame.index)}); horizon sizing bug")
+            fr = self._recent_frames[src]
+            scan, desc, beams, beam_mask = self._features(fr)
             self.sc_desc.append(np.asarray(desc))
             self.sc_keys.append(np.asarray(SC.ring_key(desc)))
             if nid < self._sc_desc.shape[0]:
@@ -127,6 +138,13 @@ class OnlineSlam:
             self._node_cells[nid] = (scan.mean, scan.cov, scan.valid)
             if not bool(nodes.is_root[k]):
                 self._pending_loop_queries.append(nid)
+            # Online raytracing cadence: the reference enqueues the node's
+            # max-intensity beams at keyframe exit (``local_fuser.cpp:181-188``)
+            # and a 20 Hz timer drains them into the submap counting grid
+            # (``ndt_slam.cpp:366-368``); here the drain is synchronous.
+            if self.cfg.visualize_ogm:
+                self._raytrace_node(int(nodes.submap_id[k]), nodes.pose[k],
+                                    np.asarray(beams), np.asarray(beam_mask))
         for k in range(2):
             if edges.valid[k]:
                 self.edges.append((
@@ -134,12 +152,80 @@ class OnlineSlam:
                     edges.trans[k], edges.sqrt_information[k],
                 ))
 
+    def _raytrace_node(self, submap_id: int, node_pose, beams, beam_mask):
+        """Bresenham the node's beams into its submap counting grid at the
+        submap-local sensor pose (``HierarchicalMap::raytraceLine``)."""
+        from ..io import native as NT
+
+        o = self.cfg.ogm
+        grid = self._count_grids.get(submap_id)
+        if grid is None:
+            grid = np.zeros((o.submap_size_y, o.submap_size_x), np.int32)
+        # Submap-local pose from the CURRENT graph state (root and node move
+        # together under PGO, so their relative pose stays consistent).
+        root = int(np.asarray(self.carry.store_root)[
+            min(submap_id, self.cfg.capacity.max_submaps - 1)])
+        origin = (self.node_pose[root] if root < len(self.node_pose)
+                  else np.asarray(self.carry.store_origin)[submap_id])
+        local = np.asarray(compose(inverse(jnp.asarray(origin)),
+                                   jnp.asarray(node_pose)))
+        sensor = np.asarray(compose(jnp.asarray(local), self.s2b))
+        A = beams.shape[0]
+        poses_b = np.repeat(sensor[None, :], A, axis=0).astype(np.float32)
+        self._count_grids[submap_id] = NT.bresenham_raytrace(
+            grid, poses_b, beams[:, 0].astype(np.float32),
+            beams[:, 1].astype(np.float32), beam_mask.astype(np.uint8),
+            o.resolution,
+        )
+
+    def render_ogm(self) -> np.ndarray:
+        """Fuse the per-submap counting grids at the CURRENT (post-PGO)
+        submap origins into the global occupancy grid
+        (``MasterMap::getOGM`` / ``visualizeMap`` cadence)."""
+        from ..io import native as NT
+        from ..mapping import ogm as OGM
+
+        o = self.cfg.ogm
+        if not self._count_grids:
+            return np.full((o.size_y, o.size_x), 0.5, np.float32)
+        subs = sorted(self._count_grids)
+        grids = np.stack([self._count_grids[s] for s in subs])
+        roots = np.asarray(self.carry.store_root)
+        origins = []
+        for s in subs:
+            r = int(roots[min(s, self.cfg.capacity.max_submaps - 1)])
+            origins.append(self.node_pose[r] if r < len(self.node_pose)
+                           else np.asarray(self.carry.store_origin)[s])
+        origins = jnp.asarray(np.stack(origins), jnp.float32)
+        corner = jnp.asarray([-0.5 * o.submap_size_x * o.resolution,
+                              -0.5 * o.submap_size_y * o.resolution, 0.0])
+        sub_corners = compose(origins, jnp.broadcast_to(corner,
+                                                        origins.shape))
+        g_corner = jnp.asarray([-0.5 * o.size_x * o.resolution,
+                                -0.5 * o.size_y * o.resolution, 0.0])
+        if NT.have_native():
+            rel = compose(jnp.broadcast_to(inverse(g_corner),
+                                           sub_corners.shape), sub_corners)
+            total = jnp.asarray(NT.fuse_counting_grids(
+                grids, np.asarray(rel), o.resolution, o.resolution,
+                o.size_y, o.size_x))
+        else:
+            total = OGM.fuse_submaps(
+                jnp.asarray(grids, jnp.float32), sub_corners, o.resolution,
+                o.resolution, g_corner, o.size_y, o.size_x)
+        return np.asarray(OGM.global_occupancy(total))
+
     # -- public API ------------------------------------------------------------
 
     def process_frame(self, frame) -> np.ndarray:
         """One radar frame; returns the current global pose (/ndt_odom)."""
         self._recent_frames[int(frame.index)] = frame
-        horizon = self.cfg.local_fuser.insertion_delay + 4
+        # Horizon: a keyframe queued at frame t exits at the earliest
+        # ``insertion_delay`` frames later, and can back up behind up to
+        # ``keyframe_queue`` earlier entries spaced ``insertion_step`` apart.
+        lf = self.cfg.local_fuser
+        horizon = (lf.insertion_delay
+                   + lf.insertion_step * self.cfg.capacity.keyframe_queue + 2)
         for k in list(self._recent_frames):
             if k < int(frame.index) - horizon:
                 del self._recent_frames[k]
@@ -241,3 +327,123 @@ class OnlineSlam:
 
     def trajectory(self):
         return np.stack(self.node_pose) if self.node_pose else np.zeros((0, 3))
+
+    # -- checkpoint / resume ---------------------------------------------------
+    # The reference has no persistence (SURVEY.md §5); long online runs need
+    # it.  The device carry snapshots via utils/checkpoint; the host-side
+    # graph / ScanContext / queue state (the reference's nodes_/edges_ and
+    # SCManager members) is captured here so a resumed engine reproduces the
+    # uninterrupted run bit-for-bit.
+
+    def save_checkpoint(self, path: str):
+        from ..utils import checkpoint as CK
+
+        flat = CK._flatten(self.carry, "carry/")
+        N = len(self.node_pose)
+        host = {
+            "node_pose": (np.stack(self.node_pose) if N
+                          else np.zeros((0, 3), np.float32)),
+            "node_stamp": np.asarray(self.node_stamp, np.float64),
+            "node_traversed": np.asarray(self.node_traversed, np.float64),
+            "node_submap": np.asarray(self.node_submap, np.int64),
+            "node_frame": np.asarray(self.node_frame, np.int64),
+            "node_is_root": np.asarray(self.node_is_root, bool),
+            "edge_begin": np.asarray([e[0] for e in self.edges], np.int64),
+            "edge_end": np.asarray([e[1] for e in self.edges], np.int64),
+            "edge_trans": (np.stack([np.asarray(e[2]) for e in self.edges])
+                           if self.edges else np.zeros((0, 3), np.float32)),
+            "edge_sqrtI": (np.stack([np.asarray(e[3]) for e in self.edges])
+                           if self.edges else np.zeros((0, 3, 3), np.float32)),
+            "n_loop_edges": np.int64(self.n_loop_edges),
+            "frame_count": np.int64(self._frame_count),
+            "pending": np.asarray(self._pending_loop_queries, np.int64),
+            "odom_trace": (np.stack(self.odom_trace) if self.odom_trace
+                           else np.zeros((0, 3), np.float32)),
+            "sc_desc": self._sc_desc[:N],
+            "sc_key": self._sc_key[:N],
+            "sc_pos": self._sc_pos[:N],
+            "sc_trav": self._sc_trav[:N],
+        }
+        # per-node scan cells (loop refinement inputs)
+        ids = sorted(self._node_cells)
+        host["cells_ids"] = np.asarray(ids, np.int64)
+        if ids:
+            host["cells_mean"] = np.stack(
+                [np.asarray(self._node_cells[i][0]) for i in ids])
+            host["cells_cov"] = np.stack(
+                [np.asarray(self._node_cells[i][1]) for i in ids])
+            host["cells_valid"] = np.stack(
+                [np.asarray(self._node_cells[i][2]) for i in ids])
+        # OGM counting grids
+        subs = sorted(self._count_grids)
+        host["ogm_ids"] = np.asarray(subs, np.int64)
+        if subs:
+            host["ogm_grids"] = np.stack([self._count_grids[s] for s in subs])
+        # recent-frame buffer (pending keyframe descriptors after resume)
+        fids = sorted(self._recent_frames)
+        host["recent_ids"] = np.asarray(fids, np.int64)
+        if fids:
+            frames = [self._recent_frames[i] for i in fids]
+            for field in frames[0]._fields:
+                host[f"recent/{field}"] = np.stack(
+                    [np.asarray(getattr(fr, field)) for fr in frames])
+        np.savez_compressed(path, **flat, **{f"host/{k}": v
+                                             for k, v in host.items()})
+
+    def load_checkpoint(self, path: str):
+        import jax.numpy as jnp
+
+        from ..utils import checkpoint as CK
+
+        data = np.load(path)
+
+        def rebuild(node, prefix):
+            if hasattr(node, "_asdict") and hasattr(node, "_replace"):
+                return type(node)(**{
+                    k: rebuild(v, f"{prefix}{k}/")
+                    for k, v in node._asdict().items()})
+            return jnp.asarray(data[prefix.rstrip("/")])
+
+        self.carry = rebuild(self.carry, "carry/")
+        h = lambda k: data[f"host/{k}"]
+        self.node_pose = [p for p in h("node_pose")]
+        self.node_stamp = list(h("node_stamp"))
+        self.node_traversed = list(h("node_traversed"))
+        self.node_submap = [int(v) for v in h("node_submap")]
+        self.node_frame = [int(v) for v in h("node_frame")]
+        self.node_is_root = [bool(v) for v in h("node_is_root")]
+        self.edges = [
+            (int(b), int(e), t, s) for b, e, t, s in zip(
+                h("edge_begin"), h("edge_end"), h("edge_trans"),
+                h("edge_sqrtI"))]
+        self.n_loop_edges = int(h("n_loop_edges"))
+        self._frame_count = int(h("frame_count"))
+        self._pending_loop_queries = [int(v) for v in h("pending")]
+        self.odom_trace = [p for p in h("odom_trace")]
+        N = len(self.node_pose)
+        self._sc_desc[:N] = h("sc_desc")
+        self._sc_key[:N] = h("sc_key")
+        self._sc_pos[:N] = h("sc_pos")
+        self._sc_trav[:N] = h("sc_trav")
+        self.sc_desc = [d for d in h("sc_desc")]
+        self.sc_keys = [k for k in h("sc_key")]
+        self._node_cells = {}
+        ids = [int(v) for v in h("cells_ids")]
+        if ids:
+            for j, i in enumerate(ids):
+                self._node_cells[i] = (
+                    jnp.asarray(h("cells_mean")[j]),
+                    jnp.asarray(h("cells_cov")[j]),
+                    jnp.asarray(h("cells_valid")[j]))
+        self._count_grids = {}
+        subs = [int(v) for v in h("ogm_ids")]
+        if subs:
+            for j, s in enumerate(subs):
+                self._count_grids[s] = h("ogm_grids")[j].copy()
+        self._recent_frames = {}
+        fids = [int(v) for v in h("recent_ids")]
+        if fids:
+            fields = {f: data[f"host/recent/{f}"] for f in F.Frame._fields}
+            for j, i in enumerate(fids):
+                self._recent_frames[i] = F.Frame(
+                    **{f: jnp.asarray(fields[f][j]) for f in F.Frame._fields})

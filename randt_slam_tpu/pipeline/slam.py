@@ -56,21 +56,29 @@ class OdometryResult:
     n_submaps: int
     rejected_frames: np.ndarray  # (T,) bool
     final_carry: object = None
+    # frames where a padded capacity saturated (possible silent data drop)
+    saturation: dict = dataclasses.field(default_factory=dict)
 
 
-def frames_from_arrays(intensity, azimuths, ranges, stamps, imu_yaw=None):
-    """Stack a sequence into a Frame pytree of (T, ...) device arrays."""
+def frames_from_arrays(intensity, azimuths, ranges, stamps, imu_yaw=None,
+                       host=False):
+    """Stack a sequence into a Frame pytree of (T, ...) arrays.
+
+    host=True keeps the arrays on the host (numpy) so long sequences don't
+    occupy HBM up front; ``run_odometry(chunk=...)`` then uploads per chunk.
+    """
     T, A, Rb = intensity.shape
     if imu_yaw is None:
         imu_yaw = np.zeros(T, np.float32)
+    xp = np if host else jnp
     return F.Frame(
-        intensity=jnp.asarray(intensity, jnp.float32),
-        azimuths=jnp.broadcast_to(jnp.asarray(azimuths, jnp.float32), (T, A)),
-        ranges=jnp.broadcast_to(jnp.asarray(ranges, jnp.float32), (T, Rb)),
-        azimuth_mask=jnp.ones((T, A), bool),
-        stamp=jnp.asarray(stamps, jnp.float32),
-        imu_yaw=jnp.asarray(imu_yaw, jnp.float32),
-        index=jnp.arange(T, dtype=jnp.int32),
+        intensity=xp.asarray(intensity, xp.float32),
+        azimuths=xp.broadcast_to(xp.asarray(azimuths, xp.float32), (T, A)),
+        ranges=xp.broadcast_to(xp.asarray(ranges, xp.float32), (T, Rb)),
+        azimuth_mask=xp.ones((T, A), bool),
+        stamp=xp.asarray(stamps, xp.float32),
+        imu_yaw=xp.asarray(imu_yaw, xp.float32),
+        index=xp.arange(T, dtype=xp.int32),
     )
 
 
@@ -121,6 +129,7 @@ def run_slam(
     sensor_to_base=None,
     initial_pose=None,
     use_scan: bool = True,
+    chunk: int = 0,
 ) -> SlamResult:
     """Full offline SLAM: odometry, batched loop closure, one final
     pose-graph solve + submap re-anchoring (``ndt_slam.cpp:94-209`` offline
@@ -133,7 +142,8 @@ def run_slam(
     timings = {}
     t0 = time.perf_counter()
     odo = run_odometry(cfg, frames, sensor_to_base=sensor_to_base,
-                       initial_pose=initial_pose, use_scan=use_scan)
+                       initial_pose=initial_pose, use_scan=use_scan,
+                       chunk=chunk)
     timings["odometry_s"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     if cfg.local_fuser.use_scan_context_as_loop_closure:
@@ -221,9 +231,9 @@ def render_ogm(cfg: SlamConfig, result: SlamResult, frames: F.Frame,
     sh, sw = o.submap_size_y, o.submap_size_x
     n_sub = odo.n_submaps
 
-    # beams per keyframe node (batched re-extraction)
-    def beams_of(idx):
-        fr = jax.tree.map(lambda x: x[idx], frames)
+    # beams per keyframe node (batched re-extraction; frames gathered on the
+    # host per fixed-size chunk so host-resident sequences work)
+    def beams_of(fr):
         scan = pp.PolarScan(
             intensity=fr.intensity, azimuths=fr.azimuths, ranges=fr.ranges,
             azimuth_mask=fr.azimuth_mask,
@@ -232,11 +242,17 @@ def render_ogm(cfg: SlamConfig, result: SlamResult, frames: F.Frame,
         return filt.beams, filt.beam_mask
 
     fn = jax.jit(jax.vmap(beams_of))
-    node_frames = jnp.asarray(odo.node_frame, jnp.int32)
-    parts = [fn(node_frames[lo:lo + chunk])
-             for lo in range(0, len(node_frames), chunk)]
+    node_frames = np.asarray(odo.node_frame, np.int64)
+    Nn = len(node_frames)
+    parts = []
+    for lo in range(0, Nn, chunk):
+        idx = node_frames[lo:lo + chunk]
+        if len(idx) < chunk:
+            idx = np.concatenate([idx, np.full(chunk - len(idx), idx[-1])])
+        sub = jax.tree.map(lambda x: jnp.asarray(x[idx]), frames)
+        parts.append(fn(sub))
     beams, beam_mask = jax.tree.map(
-        lambda *xs: jnp.concatenate(xs, axis=0), *parts
+        lambda *xs: jnp.concatenate(xs, axis=0)[:Nn], *parts
     )
 
     # sensor poses in each node's submap frame (odometry-time geometry)
@@ -386,4 +402,9 @@ def run_odometry(
         n_submaps=int(carry.store_count),
         rejected_frames=np.asarray(outs.rejected),
         final_carry=carry,
+        saturation={
+            "scan_cell_budget_frames": int(np.asarray(outs.scan_saturated).sum()),
+            "submap_table_full_frames": int(np.asarray(outs.submap_saturated).sum()),
+            "submap_store_full": bool(np.asarray(outs.store_saturated).any()),
+        },
     )

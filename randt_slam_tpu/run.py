@@ -42,6 +42,15 @@ def build_parser():
                    help="synthetic: closed-loop trajectory")
     p.add_argument("--python-loop", action="store_true",
                    help="drive frames with a Python loop instead of lax.scan")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint file; online: saved every "
+                        "--checkpoint-every frames, offline: final carry")
+    p.add_argument("--checkpoint-every", type=int, default=50)
+    p.add_argument("--resume", default=None,
+                   help="resume an --online run from a checkpoint file")
+    p.add_argument("--export-ndt", action="store_true",
+                   help="export the final submap's NDT cells "
+                        "(NormalDistributions-equivalent npz)")
     return p
 
 
@@ -96,16 +105,30 @@ def main(argv=None):
     prof = Profiler()
     t0 = time.perf_counter()
 
+    final_carry = None
     if args.online:
         import jax
         from .pipeline.online import OnlineSlam
 
         engine = OnlineSlam(cfg)
+        start = 0
+        if args.resume:
+            engine.load_checkpoint(args.resume)
+            start = engine._frame_count
         T = int(frames.stamp.shape[0])
         with prof.stage("online_total"):
-            for t in range(T):
+            for t in range(start, T):
                 fr = jax.tree.map(lambda x: x[t], frames)
                 engine.process_frame(fr)
+                if (args.checkpoint
+                        and (t + 1) % args.checkpoint_every == 0):
+                    engine.save_checkpoint(args.checkpoint)
+        if args.checkpoint:
+            engine.save_checkpoint(args.checkpoint)
+        final_carry = engine.carry
+        if args.ogm and cfg.visualize_ogm:
+            viz.write_pgm(os.path.join(args.output, "ogm.pgm"),
+                          engine.render_ogm())
         odom = np.stack(engine.odom_trace)
         node_pose = engine.trajectory()
         node_stamp = np.asarray(engine.node_stamp)
@@ -120,6 +143,7 @@ def main(argv=None):
         node_stamp = res.node_stamp
         node_frame = res.node_frame
         n_loops = 0
+        final_carry = res.final_carry
     else:
         with prof.stage("slam_total"):
             res = slam.run_slam(cfg, frames, use_scan=not args.python_loop)
@@ -128,6 +152,7 @@ def main(argv=None):
         node_stamp = res.node_stamp
         node_frame = res.node_frame
         n_loops = res.loops.n_accepted
+        final_carry = res.odometry.final_carry
         for k, v in res.timings.items():
             prof.stages[f"slam.{k}"].add(v)
         if args.ogm:
@@ -137,6 +162,22 @@ def main(argv=None):
 
     wall = time.perf_counter() - t0
     T = len(odom)
+
+    if args.checkpoint and not args.online and final_carry is not None:
+        from .utils import checkpoint as CK
+
+        CK.save_carry(args.checkpoint, final_carry)
+    if args.export_ndt and final_carry is not None:
+        # NormalDistributions-equivalent export of the active submap's cells
+        # (``/aligned_normal_distribution`` topic, ndt_msgs wire format).
+        from .ndt import grid as G
+
+        mu, cov, valid = G.derive_sparse_fields(
+            final_carry.submap, cfg.ndt_map.min_points_per_cell,
+            cfg.ndt_map.cell)
+        viz.export_normal_distributions(
+            os.path.join(args.output, "ndt_submap.npz"),
+            np.asarray(mu), np.asarray(cov), np.asarray(valid))
 
     # exports (/ndt_odom and /randt_path equivalents)
     formats.write_tum(os.path.join(args.output, "odom_tum.txt"), stamps, odom)
@@ -154,6 +195,9 @@ def main(argv=None):
         "n_nodes": int(len(node_pose)),
         "n_loop_closures": int(n_loops),
     }
+    if not args.online:
+        odo_res = res if args.odometry_only else res.odometry
+        metrics["saturation"] = odo_res.saturation
     if gt_poses is not None:
         metrics.update({
             "odom_ate_m": round(formats.ate(odom, gt_poses[:T]), 4),

@@ -74,3 +74,74 @@ def _tiny_frames(cfg, n):
         seq.intensity, seq.azimuths, seq.ranges, seq.stamps
     )
     return frames, seq.gt_poses, seq.stamps
+
+
+def test_online_checkpoint_resume_reproduces(tmp_path, tiny_seq):
+    """Resume mid-sequence must reproduce the uninterrupted trajectory
+    (VERDICT.md item 9): device carry + host graph/SC/queue state round-trip."""
+    from randt_slam_tpu.pipeline.online import OnlineSlam
+
+    cfg, seq, frames = tiny_seq
+    T = 16
+    ref = OnlineSlam(cfg, loop_every=3, pgo_every=7)
+    for t in range(T):
+        ref.process_frame(jax.tree.map(lambda x: x[t], frames))
+
+    half = 8
+    a = OnlineSlam(cfg, loop_every=3, pgo_every=7)
+    for t in range(half):
+        a.process_frame(jax.tree.map(lambda x: x[t], frames))
+    ckpt = str(tmp_path / "ck.npz")
+    a.save_checkpoint(ckpt)
+
+    b = OnlineSlam(cfg, loop_every=3, pgo_every=7)
+    b.load_checkpoint(ckpt)
+    assert b._frame_count == half
+    for t in range(half, T):
+        b.process_frame(jax.tree.map(lambda x: x[t], frames))
+
+    np.testing.assert_allclose(np.stack(b.odom_trace),
+                               np.stack(ref.odom_trace), atol=1e-6)
+    np.testing.assert_allclose(b.trajectory(), ref.trajectory(), atol=1e-6)
+    assert b.n_loop_edges == ref.n_loop_edges
+    assert len(b.edges) == len(ref.edges)
+
+
+def test_online_ogm_cadence(tiny_seq):
+    """visualize_ogm=True raytraces keyframe beams online and renders a
+    fused global OGM (``ndt_slam.cpp:366-368`` cadence)."""
+    import dataclasses
+
+    from randt_slam_tpu.pipeline.online import OnlineSlam
+
+    cfg, seq, frames = tiny_seq
+    cfg = dataclasses.replace(cfg, visualize_ogm=True)
+    eng = OnlineSlam(cfg, loop_every=50, pgo_every=50)
+    for t in range(16):
+        eng.process_frame(jax.tree.map(lambda x: x[t], frames))
+    assert eng._count_grids, "no counting grids accumulated"
+    g = next(iter(eng._count_grids.values()))
+    assert (g > 0).any() and (g < 0).any(), "no hits/free cells traced"
+    ogm = eng.render_ogm()
+    o = cfg.ogm
+    assert ogm.shape == (o.size_y, o.size_x)
+    assert np.isfinite(ogm).all()
+    assert ogm.max() > 0.5 and ogm.min() < 0.5  # occupied + free evidence
+
+
+def test_saturation_counters_surface(tiny_seq):
+    """Capacity saturation is reported, not silent (VERDICT.md weak item 7)."""
+    import dataclasses
+
+    from randt_slam_tpu.config import CapacityConfig
+
+    cfg, seq, frames = tiny_seq
+    res = slam.run_odometry(cfg, frames, use_scan=False)
+    assert set(res.saturation) == {"scan_cell_budget_frames",
+                                   "submap_table_full_frames",
+                                   "submap_store_full"}
+    # squeeze the scan-cell budget to force saturation and see it reported
+    tiny_cap = dataclasses.replace(cfg.capacity, max_scan_cells=8)
+    cfg2 = dataclasses.replace(cfg, capacity=tiny_cap)
+    res2 = slam.run_odometry(cfg2, frames, use_scan=False)
+    assert res2.saturation["scan_cell_budget_frames"] > 0
