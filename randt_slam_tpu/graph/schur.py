@@ -1,24 +1,53 @@
-"""Distributed pose-graph solve: edge-sharded normal-equation assembly.
+"""Distributed pose-graph solve: submap-sharded Schur complement.
 
 The reference solves its pose graph with single-process sparse Cholesky
-(``global_fuser.cpp:52-59``).  For pod-scale batches the TPU build shards the
-EDGE set over the mesh: each device assembles the Hessian/gradient
-contribution of its edge shard (closed-form 3x3 blocks, ``pose_graph.py``),
-an all-reduce (psum over ICI) combines them, and the damped dense solve runs
-replicated — the "reduce-scatter of per-edge Hessian blocks" pattern from
-SURVEY.md §5.  A Schur-complement reduction over submap-root separator
-variables (for graphs too large for a dense solve) is the planned extension.
+(``global_fuser.cpp:52-59``).  The TPU build exploits the SLAM graph's
+structure instead: nodes group into submaps whose ROOT nodes are the only
+ones loop edges attach to (``local_fuser.cpp:341-347``), and odometry chains
+only cross submap boundaries at roots.  Ordering variables
+[interiors | roots] therefore makes the interior block A of the normal
+equations BLOCK-DIAGONAL BY SUBMAP:
+
+    H = [[A, B], [B^T, C]],   A = diag(A_1 ... A_S)
+
+so each Gauss-Newton step runs as
+  1. per-submap assembly of (A_s, B_s, g_s)          — vmapped, sharded over
+     the mesh's ``data`` axis (submaps are the shards).  B_s couples only to
+     the submap's LOCAL separator set (its own root, the adjacent root, and
+     the loop roots its interiors touch — L slots), so per-device FLOPs and
+     memory are O(submaps/device · L), constant under weak scaling,
+  2. per-submap damped Cholesky of A_s and the local Schur contributions
+     B_s^T A_s^{-1} B_s, B_s^T A_s^{-1} g_s          — vmapped, sharded,
+  3. scatter of the (3L, 3L) local blocks into the (3R, 3R) reduced system
+     + ONE ``psum`` over the mesh (R = #roots = #submaps, tiny),
+  4. replicated dense solve for the root increment,
+  5. per-submap back-substitution of the interiors   — sharded.
+
+Communication per iteration is ONE all-reduce of the reduced system — the
+"Schur complement over submap-root separators" north star (SURVEY.md §7.1.7).
+
+``optimize_distributed`` (edge-sharded assembly + replicated dense solve) is
+kept as the small-graph path.
 """
 
 from __future__ import annotations
 
+from functools import partial
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import GlobalFuserConfig
 from ..geometry import normalize_angle
 from ..parallel.mesh import P, shard_map
 from . import pose_graph as PG
+
+
+# ---------------------------------------------------------------------------
+# small-graph path: edge-sharded assembly, replicated dense solve
+# ---------------------------------------------------------------------------
 
 
 def _pad_edges(g: PG.PoseGraph, multiple: int) -> PG.PoseGraph:
@@ -95,3 +124,445 @@ def optimize_distributed(g: PG.PoseGraph, cfg: GlobalFuserConfig, mesh):
             jnp.int32(0), jnp.bool_(False))
     poses, _, cost, iters, _ = jax.lax.while_loop(cond, body, init)
     return poses, {"cost": cost, "iterations": iters}
+
+
+# ---------------------------------------------------------------------------
+# submap-sharded Schur-complement path
+# ---------------------------------------------------------------------------
+
+
+class SchurLayout(NamedTuple):
+    """Host-built static partition of a SLAM pose graph for the Schur solve.
+
+    S   = number of submaps (padded to the mesh size)
+    I   = max interiors per submap
+    Es  = max edges owned per submap (interior-interior + interior-root)
+    R   = number of root (separator) nodes == number of real submaps
+    """
+
+    # node bookkeeping
+    int_node: np.ndarray     # (S, I) global node id per interior slot, -1 pad
+    int_valid: np.ndarray    # (S, I)
+    root_node: np.ndarray    # (R,) global node id per separator index
+    # per-submap owned edges; endpoints in LOCAL coordinates:
+    #   kind 0: a = interior slot, b = interior slot
+    #   kind 1: a = interior slot, b = LOCAL separator slot
+    #   kind 2: a = LOCAL separator slot, b = interior slot
+    edge_idx: np.ndarray     # (S, Es) global edge index, -1 pad
+    edge_kind: np.ndarray    # (S, Es)
+    edge_a: np.ndarray       # (S, Es) local slot of endpoint id_begin
+    edge_b: np.ndarray       # (S, Es) local slot of endpoint id_end
+    # separators each submap touches, local slot -> global separator index.
+    # Keeps per-submap coupling blocks O(L) instead of O(R) so per-device
+    # work stays constant under weak scaling.
+    sep_ids: np.ndarray      # (S, L) global separator index, -1 pad
+    # separator-separator edges (rare: 1-node submaps), handled replicated
+    ss_idx: np.ndarray       # (Ess,) global edge index
+    ss_a: np.ndarray         # (Ess,) separator index of id_begin
+    ss_b: np.ndarray         # (Ess,)
+    n_submaps: int
+
+
+def build_layout(node_submap, node_is_root, id_begin, id_end,
+                 pad_submaps_to: int = 1) -> SchurLayout:
+    """Host-side static partition (numpy; runs once per graph shape)."""
+    node_submap = np.asarray(node_submap)
+    node_is_root = np.asarray(node_is_root, bool)
+    id_begin = np.asarray(id_begin)
+    id_end = np.asarray(id_end)
+    R = int(node_is_root.sum())
+    root_ids = np.nonzero(node_is_root)[0]
+    root_node = np.zeros(R, np.int32)
+    sep_of_node = np.full(len(node_submap), -1, np.int32)
+    for s, nid in enumerate(root_ids):
+        root_node[s] = nid
+        sep_of_node[nid] = s
+    S = max(R, 1)
+    S_pad = -(-S // pad_submaps_to) * pad_submaps_to
+
+    # interior slots per submap
+    int_lists = [[] for _ in range(S)]
+    int_slot = np.full(len(node_submap), -1, np.int32)
+    for nid in range(len(node_submap)):
+        if node_is_root[nid]:
+            continue
+        s = int(node_submap[nid])
+        int_slot[nid] = len(int_lists[s])
+        int_lists[s].append(nid)
+    I = max(1, max((len(l) for l in int_lists), default=1))
+    int_node = np.full((S_pad, I), -1, np.int32)
+    for s, l in enumerate(int_lists):
+        int_node[s, :len(l)] = l
+
+    # edge ownership; separator endpoints become LOCAL slots per submap
+    owned = [[] for _ in range(S)]
+    local_seps = [dict() for _ in range(S)]  # global sep -> local slot
+
+    def local_sep(s, sep):
+        d = local_seps[s]
+        if sep not in d:
+            d[sep] = len(d)
+        return d[sep]
+
+    ss = []
+    for e in range(len(id_begin)):
+        a, b = int(id_begin[e]), int(id_end[e])
+        ra, rb = node_is_root[a], node_is_root[b]
+        if ra and rb:
+            ss.append((e, sep_of_node[a], sep_of_node[b]))
+        elif ra:  # separator -> interior
+            s = int(node_submap[b])
+            owned[s].append((e, 2, local_sep(s, int(sep_of_node[a])),
+                             int_slot[b]))
+        elif rb:  # interior -> separator
+            s = int(node_submap[a])
+            owned[s].append((e, 1, int_slot[a],
+                             local_sep(s, int(sep_of_node[b]))))
+        else:
+            sa, sb = int(node_submap[a]), int(node_submap[b])
+            assert sa == sb, (
+                f"edge {e} couples interiors of submaps {sa} and {sb}; "
+                "the Schur layout requires interior blocks to be "
+                "submap-diagonal")
+            owned[sa].append((e, 0, int_slot[a], int_slot[b]))
+    Es = max(1, max((len(l) for l in owned), default=1))
+    L = max(1, max((len(d) for d in local_seps), default=1))
+    edge_idx = np.full((S_pad, Es), -1, np.int32)
+    edge_kind = np.zeros((S_pad, Es), np.int32)
+    edge_a = np.zeros((S_pad, Es), np.int32)
+    edge_b = np.zeros((S_pad, Es), np.int32)
+    sep_ids = np.full((S_pad, L), -1, np.int32)
+    for s, l in enumerate(owned):
+        for j, (e, k, a, b) in enumerate(l):
+            edge_idx[s, j] = e
+            edge_kind[s, j] = k
+            edge_a[s, j] = a
+            edge_b[s, j] = b
+    for s, d in enumerate(local_seps):
+        for sep, slot in d.items():
+            sep_ids[s, slot] = sep
+    ss = np.asarray(ss, np.int64).reshape(-1, 3)
+    return SchurLayout(
+        int_node=int_node,
+        int_valid=int_node >= 0,
+        root_node=root_node,
+        edge_idx=edge_idx, edge_kind=edge_kind,
+        edge_a=edge_a, edge_b=edge_b,
+        sep_ids=sep_ids,
+        ss_idx=ss[:, 0].astype(np.int32),
+        ss_a=ss[:, 1].astype(np.int32),
+        ss_b=ss[:, 2].astype(np.int32),
+        n_submaps=S,
+    )
+
+
+def _submap_blocks(poses, g: PG.PoseGraph, lay, L: int,
+                   use_huber: bool, huber_scale: float):
+    """Per-submap (vmappable) assembly of A_s, B_s (over the submap's LOCAL
+    separator slots), g_int_s and the local cost.  lay fields are the
+    per-submap rows of the SchurLayout."""
+    eidx, ekind, ea, eb, int_valid = lay
+    R = L  # separator endpoints are local slots of width L
+    I = int_valid.shape[0]
+    ok = eidx >= 0
+    safe = jnp.where(ok, eidx, 0)
+    sub = PG.PoseGraph(
+        poses=poses,
+        id_begin=g.id_begin[safe], id_end=g.id_end[safe],
+        trans=g.trans[safe], sqrt_information=g.sqrt_information[safe],
+        valid=g.valid[safe] & ok,
+    )
+    r = PG.edge_residuals(poses, sub)
+    Ja, Jb = PG._edge_jacobians(poses, sub)
+    w = sub.valid.astype(poses.dtype)
+    if use_huber:
+        w = w * PG._huber_weight(r, huber_scale)
+    Wa = Ja * w[:, None, None]
+    Wb = Jb * w[:, None, None]
+    Haa = jnp.einsum("eij,eik->ejk", Wa, Ja)
+    Hab = jnp.einsum("eij,eik->ejk", Wa, Jb)
+    Hbb = jnp.einsum("eij,eik->ejk", Wb, Jb)
+    ga = jnp.einsum("eij,ei->ej", Wa, r)
+    gb = jnp.einsum("eij,ei->ej", Wb, r)
+    cost = 0.5 * jnp.sum(w * jnp.sum(r * r, axis=-1))
+
+    # scatter into (I, 3, I, 3), (I, 3, R, 3), (R, 3, R, 3 — root self terms)
+    is_ii = ekind == 0
+    is_is = ekind == 1   # a interior, b separator
+    is_si = ekind == 2   # a separator, b interior
+    ia_int = jnp.where(is_ii | is_is, ea, I)      # interior slot of endpoint a
+    ib_int = jnp.where(is_ii, eb, jnp.where(is_si, eb, I))
+    ia_sep = jnp.where(is_si, ea, R)              # separator index of a
+    ib_sep = jnp.where(is_is, eb, R)
+
+    A = jnp.zeros((I + 1, 3, I + 1, 3), poses.dtype)
+    A = A.at[ia_int, :, ia_int, :].add(Haa)
+    A = A.at[ib_int, :, ib_int, :].add(Hbb)
+    A = A.at[ia_int, :, ib_int, :].add(jnp.where(is_ii[:, None, None], Hab, 0.0))
+    A = A.at[ib_int, :, ia_int, :].add(
+        jnp.where(is_ii[:, None, None], jnp.swapaxes(Hab, -1, -2), 0.0))
+    A = A[:I, :, :I, :]
+
+    B = jnp.zeros((I + 1, 3, R + 1, 3), poses.dtype)
+    B = B.at[ia_int, :, ib_sep, :].add(jnp.where(is_is[:, None, None], Hab, 0.0))
+    B = B.at[ib_int, :, ia_sep, :].add(
+        jnp.where(is_si[:, None, None], jnp.swapaxes(Hab, -1, -2), 0.0))
+    B = B[:I, :, :R, :]
+
+    Csep = jnp.zeros((R + 1, 3, 3), poses.dtype)   # root diagonal terms
+    Csep = Csep.at[ia_sep].add(jnp.where(is_si[:, None, None], Haa, 0.0))
+    Csep = Csep.at[ib_sep].add(jnp.where(is_is[:, None, None], Hbb, 0.0))
+    Csep = Csep[:R]
+
+    g_int = jnp.zeros((I + 1, 3), poses.dtype)
+    g_int = g_int.at[ia_int].add(jnp.where(is_ii[:, None] | is_is[:, None], ga, 0.0))
+    g_int = g_int.at[ib_int].add(jnp.where(is_ii[:, None] | is_si[:, None], gb, 0.0))
+    g_int = g_int[:I]
+
+    g_sep = jnp.zeros((R + 1, 3), poses.dtype)
+    g_sep = g_sep.at[ia_sep].add(jnp.where(is_si[:, None], ga, 0.0))
+    g_sep = g_sep.at[ib_sep].add(jnp.where(is_is[:, None], gb, 0.0))
+    g_sep = g_sep[:R]
+
+    return A, B, Csep, g_int, g_sep, cost
+
+
+def _ss_blocks(poses, g: PG.PoseGraph, lay: "SchurLayout", R: int,
+               use_huber: bool, huber_scale: float, dtype):
+    """Separator-separator edge contributions (replicated, tiny)."""
+    if len(lay.ss_idx) == 0:
+        return (jnp.zeros((3 * R, 3 * R), dtype), jnp.zeros((3 * R,), dtype),
+                jnp.zeros((), dtype))
+    idx = jnp.asarray(lay.ss_idx)
+    sub = PG.PoseGraph(
+        poses=poses, id_begin=g.id_begin[idx], id_end=g.id_end[idx],
+        trans=g.trans[idx], sqrt_information=g.sqrt_information[idx],
+        valid=g.valid[idx],
+    )
+    r = PG.edge_residuals(poses, sub)
+    Ja, Jb = PG._edge_jacobians(poses, sub)
+    w = sub.valid.astype(dtype)
+    if use_huber:
+        w = w * PG._huber_weight(r, huber_scale)
+    Wa = Ja * w[:, None, None]
+    Wb = Jb * w[:, None, None]
+    C = jnp.zeros((R, 3, R, 3), dtype)
+    sa = jnp.asarray(lay.ss_a)
+    sb = jnp.asarray(lay.ss_b)
+    C = C.at[sa, :, sa, :].add(jnp.einsum("eij,eik->ejk", Wa, Ja))
+    C = C.at[sb, :, sb, :].add(jnp.einsum("eij,eik->ejk", Wb, Jb))
+    Hab = jnp.einsum("eij,eik->ejk", Wa, Jb)
+    C = C.at[sa, :, sb, :].add(Hab)
+    C = C.at[sb, :, sa, :].add(jnp.swapaxes(Hab, -1, -2))
+    gs = jnp.zeros((R, 3), dtype)
+    gs = gs.at[sa].add(jnp.einsum("eij,ei->ej", Wa, r))
+    gs = gs.at[sb].add(jnp.einsum("eij,ei->ej", Wb, r))
+    cost = 0.5 * jnp.sum(w * jnp.sum(r * r, axis=-1))
+    return C.reshape(3 * R, 3 * R), gs.reshape(3 * R), cost
+
+
+def _build_kernels(g: PG.PoseGraph, cfg: GlobalFuserConfig,
+                   lay: "SchurLayout", mesh):
+    """Jitted per-iteration kernels shared by the optimizer and the scaling
+    benchmark: (reduced_system, back_substitute, total_cost, apply_delta)."""
+    R = len(lay.root_node)
+    N = g.poses.shape[0]
+    dtype = g.poses.dtype
+    I = lay.int_node.shape[1]
+
+    L = lay.sep_ids.shape[1]
+    int_node = jnp.asarray(lay.int_node)
+    int_node_safe = jnp.where(int_node >= 0, int_node, 0)
+    int_valid = jnp.asarray(lay.int_valid)
+    root_node = jnp.asarray(lay.root_node)
+    # per-submap separator DOF map: (S, 3L) global reduced-system index,
+    # padded slots -> 3R (dropped by scatter / zero by gather pad)
+    sep_ids = np.asarray(lay.sep_ids)
+    dof = np.where(sep_ids[:, :, None] >= 0,
+                   sep_ids[:, :, None] * 3 + np.arange(3)[None, None, :],
+                   3 * R).reshape(sep_ids.shape[0], 3 * L)
+    sep_dof = jnp.asarray(dof, jnp.int32)
+    per_sub = (jnp.asarray(lay.edge_idx), jnp.asarray(lay.edge_kind),
+               jnp.asarray(lay.edge_a), jnp.asarray(lay.edge_b), int_valid)
+
+    # gauge: first root fixed
+    sep_free = jnp.ones((R, 3), dtype).at[0].set(0.0).reshape(-1)
+
+    use_h = cfg.use_robust_loss
+    scale = cfg.loss_function_scale
+
+    def submap_pass(poses, lam, lay_rows, dof_rows):
+        """Per-submap Schur contributions (vmapped; runs inside shard_map).
+        Coupling blocks are LOCAL (3L wide); the reduced (3R, 3R) system is
+        assembled by scatter-add over the separator-DOF map."""
+        A, B, Csep, g_int, g_sep, cost = jax.vmap(
+            partial(_submap_blocks, poses, g, L=L, use_huber=use_h,
+                    huber_scale=scale)
+        )(lay_rows)
+        Sv, Iv = A.shape[0], A.shape[1]
+        free = jnp.repeat(lay_rows[4].astype(dtype), 3, axis=-1)  # (Sv, 3I)
+        Af = A.reshape(Sv, 3 * Iv, 3 * Iv)
+        Af = Af * free[:, :, None] * free[:, None, :]
+        damp = lam * jnp.maximum(
+            jnp.diagonal(Af, axis1=1, axis2=2), 1e-8) + (1.0 - free)
+        Af = Af + jax.vmap(jnp.diag)(damp)
+        Bf = B.reshape(Sv, 3 * Iv, 3 * L) * free[:, :, None]
+        gf = g_int.reshape(Sv, 3 * Iv) * free
+
+        chol = jax.vmap(jnp.linalg.cholesky)(Af)
+        AinvB = jax.vmap(jax.scipy.linalg.cho_solve, in_axes=((0, None), 0))(
+            (chol, True), Bf)
+        Ainvg = jax.vmap(jax.scipy.linalg.cho_solve, in_axes=((0, None), 0))(
+            (chol, True), gf[..., None])[..., 0]
+
+        # local Schur contributions, scattered into the reduced system
+        S_loc = jnp.einsum("sab,sac->sbc", Bf, AinvB)      # (Sv, 3L, 3L)
+        C_red = jnp.zeros((3 * R + 1, 3 * R + 1), dtype)
+        C_red = C_red.at[dof_rows[:, :, None], dof_rows[:, None, :]].add(
+            -S_loc)
+        # root diagonal terms from owned IS/SI edges
+        Cs = Csep.reshape(Sv, L, 3, 3)
+        for i in range(3):
+            for j in range(3):
+                C_red = C_red.at[
+                    dof_rows.reshape(Sv, L, 3)[:, :, i],
+                    dof_rows.reshape(Sv, L, 3)[:, :, j],
+                ].add(Cs[:, :, i, j])
+        g_loc = g_sep.reshape(Sv, 3 * L) - jnp.einsum("sab,sa->sb", Bf, Ainvg)
+        g_red = jnp.zeros((3 * R + 1,), dtype).at[dof_rows].add(g_loc)
+        return (C_red[:3 * R, :3 * R], g_red[:3 * R], jnp.sum(cost),
+                (chol, Bf, gf))
+
+    def reduced_system(poses, lam):
+        if mesh is None:
+            C_red, g_red, cost, fact = submap_pass(poses, lam, per_sub,
+                                                   sep_dof)
+        else:
+            def local(poses, lam, dof_rows, *rows):
+                C_red, g_red, cost, fact = submap_pass(poses, lam, rows,
+                                                       dof_rows)
+                return (jax.lax.psum(C_red, "data"),
+                        jax.lax.psum(g_red, "data"),
+                        jax.lax.psum(cost, "data"), fact)
+            C_red, g_red, cost, fact = shard_map(
+                local, mesh=mesh,
+                in_specs=(P(), P(), P("data"), P("data"), P("data"),
+                          P("data"), P("data"), P("data")),
+                out_specs=(P(), P(), P(), (P("data"), P("data"), P("data"))),
+            )(poses, lam, sep_dof, *per_sub)
+        Css, gss, css = _ss_blocks(poses, g, lay, R, use_h, scale, dtype)
+        return C_red + Css, g_red + gss, cost + css, fact
+
+    def back_substitute(fact, dsep):
+        chol, Bf, gf = fact
+
+        def local_back(chol, Bf, gf, dof_rows, dsep):
+            dsep_pad = jnp.concatenate([dsep, jnp.zeros(1, dtype)])
+            dsep_loc = dsep_pad[dof_rows]          # (Sv, 3L)
+            rhs = gf + jnp.einsum("sab,sb->sa", Bf, dsep_loc)
+            d = jax.vmap(jax.scipy.linalg.cho_solve, in_axes=((0, None), 0))(
+                (chol, True), rhs[..., None])[..., 0]
+            return -d
+
+        if mesh is None:
+            return local_back(chol, Bf, gf, sep_dof, dsep)
+        return shard_map(
+            local_back, mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data"), P("data"), P()),
+            out_specs=P("data"),
+        )(chol, Bf, gf, sep_dof, dsep)
+
+    def total_cost(poses):
+        r = PG.edge_residuals(poses, g._replace(poses=poses))
+        w = g.valid.astype(dtype)
+        if use_h:
+            w = w * PG._huber_weight(r, scale)
+        return 0.5 * jnp.sum(w * jnp.sum(r * r, axis=-1))
+
+    reduced_system = jax.jit(reduced_system)
+    back_substitute = jax.jit(back_substitute)
+    total_cost = jax.jit(total_cost)
+
+    def apply_delta(poses, dsep, dint):
+        new = poses
+        dsep2 = (dsep * sep_free).reshape(R, 3)
+        new = new.at[root_node].add(dsep2)
+        upd = (dint.reshape(-1, I, 3) * int_valid[..., None]).reshape(-1, 3)
+        new = new.at[int_node_safe.reshape(-1)].add(
+            jnp.where(int_valid.reshape(-1)[:, None], upd, 0.0))
+        return new.at[:, 2].set(normalize_angle(new[:, 2]))
+
+    apply_delta = jax.jit(apply_delta)
+    return reduced_system, back_substitute, total_cost, apply_delta, (
+        R, sep_free)
+
+
+def optimize_schur(g: PG.PoseGraph, cfg: GlobalFuserConfig,
+                   node_submap, node_is_root, mesh=None):
+    """Gauss-Newton via the submap-sharded Schur complement.
+
+    mesh=None runs the identical math single-device (vmapped over submaps);
+    with a mesh, the submap axis is sharded over ``data`` and the reduced
+    system is psum-reduced.  Gauge: the first ROOT is fixed.
+    """
+    n_dev = mesh.devices.size if mesh is not None else 1
+    lay = build_layout(node_submap, node_is_root, np.asarray(g.id_begin),
+                       np.asarray(g.id_end), pad_submaps_to=n_dev)
+    dtype = g.poses.dtype
+    (reduced_system, back_substitute, total_cost, apply_delta,
+     (R, sep_free)) = _build_kernels(g, cfg, lay, mesh)
+
+    poses = g.poses
+    lam = 1e-6
+    cost = total_cost(poses)
+    it_count = 0
+    for it in range(cfg.max_iterations):
+        C_red, g_red, _, fact = reduced_system(poses, jnp.asarray(lam, dtype))
+        Cf = C_red * sep_free[:, None] * sep_free[None, :]
+        damp = lam * jnp.maximum(jnp.diag(Cf), 1e-8) + (1.0 - sep_free)
+        dsep = -jnp.linalg.solve(Cf + jnp.diag(damp), g_red * sep_free)
+        dsep = dsep * sep_free
+        dint = back_substitute(fact, dsep)
+        trial = apply_delta(poses, dsep, dint)
+        cost_new = total_cost(trial)
+        it_count = it + 1
+        if bool(cost_new < cost):
+            step = float(jnp.linalg.norm(dsep)) + float(
+                jnp.linalg.norm(dint.reshape(-1)))
+            poses, cost = trial, cost_new
+            lam = max(lam / 3.0, 1e-12)
+            if step < cfg.tolerance * (1.0 + float(jnp.linalg.norm(poses))):
+                break
+        else:
+            lam = min(lam * 4.0, 1e8)
+            if lam >= 1e7:
+                break
+    return poses, {"cost": cost, "iterations": it_count}
+
+
+def benchmark_schur_iteration(g: PG.PoseGraph, cfg: GlobalFuserConfig,
+                              node_submap, node_is_root, mesh=None,
+                              iters: int = 10) -> float:
+    """Wall seconds per Schur GN iteration (reduced system + back
+    substitution), compile excluded.  Used for the multi-device scaling
+    measurement in ``dryrun_multichip``."""
+    import time
+
+    n_dev = mesh.devices.size if mesh is not None else 1
+    lay = build_layout(node_submap, node_is_root, np.asarray(g.id_begin),
+                       np.asarray(g.id_end), pad_submaps_to=n_dev)
+    dtype = g.poses.dtype
+    reduced_system, back_substitute, _, _, (R, sep_free) = _build_kernels(
+        g, cfg, lay, mesh)
+    lam = jnp.asarray(1e-6, dtype)
+    C_red, g_red, _, fact = reduced_system(g.poses, lam)  # compile
+    dsep = -jnp.linalg.solve(
+        C_red + jnp.diag(1.0 - sep_free + 1e-6), g_red * sep_free) * sep_free
+    dint = back_substitute(fact, dsep)                     # compile
+    jax.block_until_ready(dint)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        C_red, g_red, _, fact = reduced_system(g.poses, lam)
+        dint = back_substitute(fact, dsep)
+    jax.block_until_ready(dint)
+    return (time.perf_counter() - t0) / iters

@@ -6,9 +6,10 @@ Compiles ``librandt_native.so`` on first use (g++, no external deps) and
 exposes:
   * :func:`pack_polar_image` — point-cloud -> polar-image conversion, the
     data-loader hot path for replaying real point-cloud exports,
-  * :func:`bresenham_raytrace` — the reference's exact integer Bresenham
-    counting-grid update (golden oracle for the device DDA raytracer,
-    host-side OGM export).
+  * :func:`bresenham_raytrace` — integer ray walk with the reference's
+    counting-grid semantics, derived from the closed-form minor-axis
+    progression the device kernel uses (golden oracle for the device
+    raytracer, host-side OGM export).
 
 Falls back to numpy implementations if no compiler is available.
 """
@@ -121,7 +122,8 @@ def bresenham_raytrace(counts, poses, angles, ranges, valid, res):
             len(angles),
         )
         return out
-    # numpy fallback: per-ray python Bresenham (slow; tests only)
+    # numpy fallback: closed-form minor-axis progression, vectorized per ray
+    # (same derivation as the native helper and the device kernel)
     H, W = out.shape
     for k in range(len(angles)):
         if not valid[k]:
@@ -134,31 +136,28 @@ def bresenham_raytrace(counts, poses, angles, ranges, valid, res):
         dy = int((ey - oy) / res)
         x0 = int(ox / res + W // 2)
         y0 = int(oy / res + H // 2)
-        n = max(abs(dx), abs(dy))
-        offset = y0 * W + x0
-        if n == 0:
-            if 0 <= offset < H * W:
-                out.flat[offset] += 2
-            continue
+        x_major = abs(dx) >= abs(dy)
         abs_da, abs_db = max(abs(dx), abs(dy)), min(abs(dx), abs(dy))
-        if abs(dx) >= abs(dy):
-            off_a, off_b = int(np.sign(dx)), int(np.sign(dy)) * W
+        sa = int(np.sign(dx)) if x_major else int(np.sign(dy))
+        sb = int(np.sign(dy)) if x_major else int(np.sign(dx))
+        da = max(abs_da, 1)
+        dist = float(np.hypot(dx, dy))
+        scale = 1.0 if dist == 0.0 else min(1.0, (2.0 * r / res) / dist)
+        n = min(int(scale * abs_da), abs_da)
+        i = np.arange(n)
+        b = (abs_da // 2 + i * abs_db) // da
+        b_end = (abs_da // 2 + n * abs_db) // da
+        if x_major:
+            ix, iy = x0 + i * sa, y0 + b * sb
+            exi, eyi = x0 + n * sa, y0 + b_end * sb
         else:
-            off_a, off_b = int(np.sign(dy)) * W, int(np.sign(dx))
-        err = abs_da // 2
-        for _ in range(abs_da):
-            if 0 <= offset < H * W:
-                out.flat[offset] -= 1
-            else:
-                break
-            offset += off_a
-            err += abs_db
-            if err >= abs_da:
-                offset += off_b
-                err -= abs_da
-        else:
-            if 0 <= offset < H * W:
-                out.flat[offset] += 2
+            ix, iy = x0 + b * sb, y0 + i * sa
+            exi, eyi = x0 + b_end * sb, y0 + n * sa
+        ok = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H) & ~(
+            (ix == exi) & (iy == eyi))
+        np.add.at(out, (iy[ok], ix[ok]), -1)
+        if 0 <= exi < W and 0 <= eyi < H:
+            out[eyi, exi] += 2
     return out
 
 

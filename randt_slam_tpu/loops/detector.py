@@ -110,16 +110,22 @@ def detect_loops(
     distances = jnp.asarray(odo.node_traversed, dtype)
     node_submap = jnp.asarray(odo.node_submap, jnp.int32)
 
-    # ---- step 2: ScanContext retrieval for all queries ---------------------
+    # ---- step 2: ScanContext retrieval for all queries (chunked vmap) ------
     query_ids = np.nonzero(~odo.node_is_root)[0]
-    detect_one = jax.jit(
+    detect_batch = jax.jit(jax.vmap(
         lambda q: SC.detect(q, desc, ring_keys, positions, distances,
                             jnp.int32(N), sc_cfg)
+    ))
+    QCH = 256
+    parts = []
+    for lo in range(0, len(query_ids), QCH):
+        q = query_ids[lo:lo + QCH]
+        if len(q) < QCH:
+            q = np.concatenate([q, np.full(QCH - len(q), q[-1])])
+        parts.append(detect_batch(jnp.asarray(q, jnp.int32)))
+    cands = jax.tree.map(
+        lambda *xs: jnp.concatenate(xs, axis=0)[:len(query_ids)], *parts
     )
-    cands = jax.vmap(
-        lambda q: SC.detect(q, desc, ring_keys, positions, distances,
-                            jnp.int32(N), sc_cfg)
-    )(jnp.asarray(query_ids, jnp.int32))
     match_id = np.asarray(cands.match_id)
     yaw = np.asarray(cands.yaw_rad)
 
@@ -181,17 +187,49 @@ def detect_loops(
         )
 
     refine = jax.jit(jax.vmap(partial(matcher.estimate_loop, cfg)))
-    est = refine(init_guess, f_mean, f_cov, f_valid, m_mean, m_cov, m_valid)
 
     # ---- step 4: CS-divergence gate (``local_fuser.cpp:338-340``) ----------
-    def gate(pose, fm, fc, fv, mm, mc, mv):
-        mm2, mc2 = matcher.transform_mean_cov(pose, mm, mc)
-        return D.cs_divergence(fm, fc, fv, mm2, mc2, mv)
-
-    cs = jax.jit(jax.vmap(gate))(
-        est.pose, f_mean, f_cov, f_valid, m_mean, m_cov, m_valid
+    # The fixed-map self terms are pose-invariant: compute once per UNIQUE
+    # matched submap (row-chunked O(F^2) pass) and reuse across candidates.
+    self_fn = jax.jit(D.self_term)
+    f_self_by_sub = {}
+    for s in np.unique(m_submaps):
+        j = int(np.nonzero(m_submaps == s)[0][0])
+        f_self_by_sub[int(s)] = self_fn(f_mean[j], f_cov[j], f_valid[j])
+    f_self = jnp.asarray(
+        np.stack([np.asarray(f_self_by_sub[int(s)]) for s in m_submaps])
     )
-    cs = np.asarray(cs)
+
+    def gate(pose, fm, fc, fv, mm, mc, mv, fs, ms):
+        mm2, mc2 = matcher.transform_mean_cov(pose, mm, mc)
+        return D.cs_divergence(fm, fc, fv, mm2, mc2, mv,
+                               f_self=fs, m_self=ms)
+
+    gate_b = jax.jit(jax.vmap(gate))
+    m_self_fn = jax.jit(jax.vmap(D.self_term))
+
+    # chunked over candidates: each refinement holds an all-pairs
+    # (scan cells x submap cells) association — batching every candidate at
+    # once OOMs on long sequences
+    CCH = 64
+    n_cand = len(sel)
+    est_parts, cs_parts = [], []
+    for lo in range(0, n_cand, CCH):
+        sl = slice(lo, min(lo + CCH, n_cand))
+        pad = CCH - (sl.stop - sl.start)
+        pick = lambda a: jnp.concatenate(
+            [a[sl], jnp.repeat(a[sl.stop - 1:sl.stop],
+                               pad, axis=0)]) if pad else a[sl]
+        args = tuple(pick(a) for a in
+                     (init_guess, f_mean, f_cov, f_valid,
+                      m_mean, m_cov, m_valid))
+        e = refine(*args)
+        ms = m_self_fn(*args[4:7])
+        c = gate_b(e.pose, *args[1:], pick(f_self), ms)
+        est_parts.append(e)
+        cs_parts.append(c)
+    est = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:n_cand], *est_parts)
+    cs = np.asarray(jnp.concatenate(cs_parts)[:n_cand])
     accept = cs < lcfg.loop_closure_max_cs_divergence
 
     # ---- step 5: loop edges -------------------------------------------------
@@ -267,16 +305,17 @@ def detect_loops_mahalanobis(
           & (dist < lcfg.max_data_association_mahalanobis_dist))
     dist = np.where(ok, dist, np.inf)
 
-    # best match per (query, submap)
-    q_list, m_list = [], []
-    for qi in range(Q):
-        for s in range(n_sub):
-            in_s = node_submap == s
-            if not np.any(ok[qi] & in_s):
-                continue
-            ds = np.where(in_s, dist[qi], np.inf)
-            m_list.append(int(np.argmin(ds)))
-            q_list.append(query_ids[qi])
+    # best match per (query, submap): one scatter-min over the submap axis
+    # (replaces the O(Q x S) host loop)
+    best = np.full((Q, n_sub), np.inf)
+    np.minimum.at(best.T, node_submap, dist.T)  # (S, Q) scatter over nodes
+    qq, ss = np.nonzero(np.isfinite(best))
+    # recover the argmin node for each finite (query, submap) cell
+    m_of = np.where(
+        node_submap[None, :] == ss[:, None], dist[qq], np.inf
+    ).argmin(axis=1)
+    q_list = query_ids[qq].tolist()
+    m_list = m_of.tolist()
     if not q_list:
         return LoopResult(
             edge_begin=np.zeros(0, np.int64), edge_end=np.zeros(0, np.int64),
@@ -336,12 +375,25 @@ def detect_loops_mahalanobis(
     refine = jax.jit(jax.vmap(partial(matcher.estimate_loop, cfg)))
     est = refine(init_guess, f_mean, f_cov, f_valid, m_mean, m_cov, m_valid)
 
-    def gate(pose, fm, fc, fv, mm, mc, mv):
+    # pose-invariant self terms cached per unique submap (see detect_loops)
+    self_fn = jax.jit(D.self_term)
+    f_self_by_sub = {}
+    for s in np.unique(m_submaps):
+        j = int(np.nonzero(m_submaps == s)[0][0])
+        f_self_by_sub[int(s)] = self_fn(f_mean[j], f_cov[j], f_valid[j])
+    f_self = jnp.asarray(
+        np.stack([np.asarray(f_self_by_sub[int(s)]) for s in m_submaps])
+    )
+    m_self = jax.jit(jax.vmap(D.self_term))(m_mean, m_cov, m_valid)
+
+    def gate(pose, fm, fc, fv, mm, mc, mv, fs, ms):
         mm2, mc2 = matcher.transform_mean_cov(pose, mm, mc)
-        return D.cs_divergence(fm, fc, fv, mm2, mc2, mv)
+        return D.cs_divergence(fm, fc, fv, mm2, mc2, mv,
+                               f_self=fs, m_self=ms)
 
     cs = np.asarray(jax.jit(jax.vmap(gate))(
-        est.pose, f_mean, f_cov, f_valid, m_mean, m_cov, m_valid
+        est.pose, f_mean, f_cov, f_valid, m_mean, m_cov, m_valid,
+        f_self, m_self
     ))
     accept = cs < lcfg.loop_closure_max_cs_divergence
     sqrtI = lcfg.loop_closure_weight * np.asarray(

@@ -89,14 +89,15 @@ def _all_shift_cosine_dist(d1, d2):
     """
     R, S = d1.shape
     cols = jnp.arange(S)
-    # shifted2[s, :, j] = d2[:, (j - s) % S]
     idx = (cols[None, :] - cols[:, None]) % S  # (S, S): [s, j] -> source col
-    shifted2 = d2[:, idx]  # (R, S, S) -> axis1 = shift? careful: d2[:, idx] (R, S, S)
-    shifted2 = jnp.moveaxis(shifted2, 1, 0)  # (S_shift, R, S_col)
-
-    dots = jnp.einsum("rj,srj->sj", d1, shifted2)
+    # All column-pair dot products as ONE (S, S) matmul on the MXU, then a
+    # tiny gather per shift — materializing the rolled descriptor per shift
+    # ((R, S, S) per candidate) OOMed at Oxford-length loop batches.
+    M = jnp.einsum("rj,rk->jk", d1, d2)        # M[j, k] = d1[:, j] . d2[:, k]
+    dots = M[cols[None, :], idx]               # (S_shift, S_col)
     n1 = jnp.linalg.norm(d1, axis=0)  # (S,)
-    n2 = jnp.linalg.norm(shifted2, axis=1)  # (S_shift, S)
+    col2 = jnp.linalg.norm(d2, axis=0)  # (S,)
+    n2 = col2[idx]  # (S_shift, S)
     valid = (n1[None, :] > 0) & (n2 > 0)
     cos = jnp.where(valid, dots / jnp.maximum(n1[None, :] * n2, 1e-20), 0.0)
     n_eff = jnp.maximum(jnp.sum(valid, axis=1), 1)

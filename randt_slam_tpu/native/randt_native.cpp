@@ -10,10 +10,18 @@
 //    into the dense polar intensity images the device pipeline consumes.
 //    This is the data-loader hot path when replaying real rosbag exports.
 //
-//  * bresenham_raytrace — the reference's exact integer Bresenham counting-
-//    grid update (RS/src/ndt_representation/ndt_hierarchical_map.cpp:87-149):
-//    free cells -1 along the ray, +2 at the hit cell.  Used as the golden
-//    oracle for the device DDA raytracer and for fast host-side OGM export.
+//  * bresenham_raytrace — integer ray walk with the same counting-grid
+//    semantics as the reference (free cells -1 along the ray, +2 at the hit
+//    cell, RS/src/ndt_representation/ndt_hierarchical_map.cpp:87-149), used
+//    as the golden oracle for the device raytracer and for fast host-side
+//    OGM export.  Derivation matches the device kernel
+//    (randt_slam_tpu/mapping/raytrace.py): the classic incremental error
+//    accumulator is replaced by the closed-form minor-axis progression
+//        b(i) = (abs_da/2 + i*abs_db) / abs_da,
+//    and out-of-bounds cells are skipped per-axis (the reference bounds-
+//    checks only the FLAT offset, letting exiting rays wrap across rows and
+//    stop; the device kernel fixes that deliberately and this oracle matches
+//    the device).
 //
 // Built as a plain shared library; Python binds via ctypes (randt_slam_tpu/io/native.py).
 
@@ -52,28 +60,39 @@ void pack_polar_image(const float* xyi, int64_t n_points,
 
 namespace {
 
-// One Bresenham pass over the dominant axis
-// (mirror of HierarchicalMap::bresenham2D, ndt_hierarchical_map.cpp:126-149).
-inline void bresenham2d(int32_t* grid, int64_t n_cells,
-                        uint64_t abs_da, uint64_t abs_db, int64_t error_b,
-                        int64_t offset_a, int64_t offset_b, uint64_t offset,
-                        uint64_t max_length) {
-  const uint64_t end = std::min<uint64_t>(max_length, abs_da);
-  for (uint64_t i = 0; i < end; ++i) {
-    if (offset < (uint64_t)n_cells) {
-      grid[offset]--;  // free-space update
-    } else {
-      return;  // out of map bounds
-    }
-    offset += offset_a;
-    error_b += abs_db;
-    if ((uint64_t)error_b >= abs_da) {
-      offset += offset_b;
-      error_b -= abs_da;
-    }
+inline int64_t isign(int64_t v) { return (v > 0) - (v < 0); }
+
+// Closed-form integer ray walk (same derivation as the device kernel,
+// mapping/raytrace.py ray_cells): step i along the dominant axis puts the
+// minor axis at b(i) = (abs_da/2 + i*abs_db) / abs_da — identical cells to
+// the incremental-error Bresenham, but each step is independent.
+inline void trace_ray(int32_t* grid, int64_t W, int64_t H,
+                      int64_t x0, int64_t y0, int64_t dx, int64_t dy,
+                      int64_t max_steps) {
+  const int64_t abs_dx = std::llabs(dx);
+  const int64_t abs_dy = std::llabs(dy);
+  const bool x_major = abs_dx >= abs_dy;
+  const int64_t abs_da = x_major ? abs_dx : abs_dy;
+  const int64_t abs_db = x_major ? abs_dy : abs_dx;
+  const int64_t sa = x_major ? isign(dx) : isign(dy);
+  const int64_t sb = x_major ? isign(dy) : isign(dx);
+  const int64_t da = std::max<int64_t>(abs_da, 1);
+
+  const int64_t n = std::min<int64_t>(max_steps, abs_da);
+  // hit cell: position after the final step (skip its free-space decrement)
+  const int64_t b_end = (abs_da / 2 + n * abs_db) / da;
+  const int64_t ex = x_major ? x0 + n * sa : x0 + b_end * sb;
+  const int64_t ey = x_major ? y0 + b_end * sb : y0 + n * sa;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t b = (abs_da / 2 + i * abs_db) / da;
+    const int64_t ix = x_major ? x0 + i * sa : x0 + b * sb;
+    const int64_t iy = x_major ? y0 + b * sb : y0 + i * sa;
+    if (ix < 0 || ix >= W || iy < 0 || iy >= H) continue;
+    if (ix == ex && iy == ey) continue;
+    grid[iy * W + ix] -= 1;  // free space
   }
-  if (offset < (uint64_t)n_cells) {
-    grid[offset] += 2;  // occupied update
+  if (ex >= 0 && ex < W && ey >= 0 && ey < H) {
+    grid[ey * W + ex] += 2;  // occupied
   }
 }
 
@@ -87,7 +106,6 @@ void bresenham_raytrace(int32_t* grid, int64_t H, int64_t W, float res,
                         const float* origins, const float* angles,
                         const float* ranges, const uint8_t* valid,
                         int64_t n_rays) {
-  const int64_t n_cells = H * W;
   for (int64_t k = 0; k < n_rays; ++k) {
     if (!valid[k]) continue;
     const float ox = origins[3 * k + 0];
@@ -99,26 +117,16 @@ void bresenham_raytrace(int32_t* grid, int64_t H, int64_t W, float res,
 
     const int64_t dx = (int64_t)((ex - ox) / res);
     const int64_t dy = (int64_t)((ey - oy) / res);
-    const uint64_t x0 = (uint64_t)(ox / res + W / 2);
-    const uint64_t y0 = (uint64_t)(oy / res + H / 2);
+    const int64_t x0 = (int64_t)(ox / res + W / 2);
+    const int64_t y0 = (int64_t)(oy / res + H / 2);
 
-    const uint64_t abs_dx = std::llabs(dx);
-    const uint64_t abs_dy = std::llabs(dy);
-    const int64_t offset_dx = (dx > 0) - (dx < 0);
-    const int64_t offset_dy = ((dy > 0) - (dy < 0)) * W;
-    const uint64_t offset = y0 * W + x0;
-
+    // ray-length cap in dominant-axis steps (raytraceLine scale, :105-106)
+    const int64_t abs_da = std::max(std::llabs(dx), std::llabs(dy));
     const double dist = std::hypot((double)dx, (double)dy);
-    const double max_len_cells = (2.0 * r) / res;  // local_fuser.cpp:313
-    const double scale = (dist == 0.0) ? 1.0 : std::min(1.0, max_len_cells / dist);
-
-    if (abs_dx >= abs_dy) {
-      bresenham2d(grid, n_cells, abs_dx, abs_dy, abs_dx / 2, offset_dx,
-                  offset_dy, offset, (uint64_t)(scale * abs_dx));
-    } else {
-      bresenham2d(grid, n_cells, abs_dy, abs_dx, abs_dy / 2, offset_dy,
-                  offset_dx, offset, (uint64_t)(scale * abs_dy));
-    }
+    const double max_len_cells = (2.0 * r) / res;
+    const double scale =
+        (dist == 0.0) ? 1.0 : std::min(1.0, max_len_cells / dist);
+    trace_ray(grid, W, H, x0, y0, dx, dy, (int64_t)(scale * (double)abs_da));
   }
 }
 

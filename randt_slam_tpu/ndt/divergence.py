@@ -60,19 +60,48 @@ def interaction_term(f_mean, f_cov, f_valid, m_mean, m_cov, m_valid):
     return jnp.sum(g * w)
 
 
-def self_term(mean, cov, valid):
+def self_term(mean, cov, valid, row_chunk: int = 1024):
     """Per-map self-similarity: sum_i sqrt(det(cov_i^-1))/(2 pi)
     + 2 * sum_{j<i} overlap(i, j), over determinant-gated cells
-    (``ndt_map.cpp:71-79``).  Rigid-transform invariant."""
+    (``ndt_map.cpp:71-79``).  Rigid-transform invariant.
+
+    The O(n^2) pair sum is evaluated in row chunks (``lax.map``) so the
+    (n, n, 3, 3) pooled-covariance intermediate never materializes — at
+    Oxford submap capacity (4096 cells) the full tensor would be 38 GB
+    per batched candidate.
+    """
+    import jax
+
     ok = valid & (C.det3(cov) >= _DET_GATE)
     det = jnp.maximum(C.det3(cov), 1e-30)
     diag = jnp.sum(jnp.where(ok, jnp.sqrt(1.0 / det) / (2.0 * jnp.pi), 0.0))
     mean, cov = _safe_cells(mean, cov, ok)
-    g = _overlap(mean[:, None, :], cov[:, None], mean[None, :, :], cov[None, :])
     n = mean.shape[0]
-    lower = jnp.tril(jnp.ones((n, n), bool), k=-1)
-    w = (ok[:, None] & ok[None, :] & lower).astype(g.dtype)
-    return diag + 2.0 * jnp.sum(g * w)
+    if n <= row_chunk:
+        g = _overlap(mean[:, None, :], cov[:, None],
+                     mean[None, :, :], cov[None, :])
+        lower = jnp.tril(jnp.ones((n, n), bool), k=-1)
+        w = (ok[:, None] & ok[None, :] & lower).astype(g.dtype)
+        return diag + 2.0 * jnp.sum(g * w)
+
+    pad = (-n) % row_chunk
+    mean_p = jnp.concatenate([mean, jnp.zeros((pad, 3), mean.dtype)])
+    cov_p = jnp.concatenate(
+        [cov, jnp.broadcast_to(jnp.eye(3, dtype=cov.dtype), (pad, 3, 3))])
+    ok_p = jnp.concatenate([ok, jnp.zeros(pad, bool)])
+    rows = jnp.arange(n + pad)
+
+    def chunk_sum(lo):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, lo, row_chunk)
+        m_r, c_r, ok_r, id_r = sl(mean_p), sl(cov_p), sl(ok_p), sl(rows)
+        g = _overlap(m_r[:, None, :], c_r[:, None],
+                     mean_p[None, :, :], cov_p[None, :])
+        lower = id_r[:, None] > rows[None, :]
+        w = (ok_r[:, None] & ok_p[None, :] & lower).astype(g.dtype)
+        return jnp.sum(g * w)
+
+    los = jnp.arange(0, n + pad, row_chunk)
+    return diag + 2.0 * jnp.sum(jax.lax.map(chunk_sum, los))
 
 
 def cs_divergence(

@@ -34,6 +34,33 @@ def shard_map(f, **kw):
 P = jax.sharding.PartitionSpec
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> bool:
+    """Multi-host runtime init (``jax.distributed``).
+
+    Reads ``RANDT_COORDINATOR`` / ``RANDT_NUM_PROCESSES`` / ``RANDT_PROCESS_ID``
+    when arguments are omitted (the standard launcher-env pattern); a no-op
+    for single-process runs so all entry points can call it unconditionally.
+    After a successful init, ``data_mesh()`` spans every chip of every host
+    and psum/all-gather collectives ride ICI within a slice and DCN across
+    hosts — no further code changes needed in the sharded paths.
+    Returns True iff a multi-process runtime was initialized.
+    """
+    import os
+
+    coord = coordinator_address or os.environ.get("RANDT_COORDINATOR")
+    n = num_processes if num_processes is not None else int(
+        os.environ.get("RANDT_NUM_PROCESSES", "1"))
+    pid = process_id if process_id is not None else int(
+        os.environ.get("RANDT_PROCESS_ID", "0"))
+    if n <= 1 or coord is None:
+        return False
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=n, process_id=pid)
+    return True
+
+
 def data_mesh(n_devices: int | None = None, devices=None) -> jax.sharding.Mesh:
     if devices is None:
         devices = jax.devices()

@@ -48,10 +48,22 @@ def build_world_and_scans(gt_poses, seed=0, n_walls_per_km=300,
     from randt_slam_tpu.io import synthetic as S
 
     rng = np.random.default_rng(seed)
-    path_len = np.linalg.norm(np.diff(gt_poses[:, :2], axis=0), axis=1).sum()
+    steps = np.linalg.norm(np.diff(gt_poses[:, :2], axis=0), axis=1)
+    path_len = steps.sum()
     n_walls = max(40, int(n_walls_per_km * path_len / 1000.0))
+    # World anchors must be uniform in ARC LENGTH: make_world samples
+    # trajectory rows uniformly, which would thin the world out exactly where
+    # the car drives fast (density ~ 1/speed) — resample the route at 1 m
+    # spacing first.
+    cum = np.concatenate([[0.0], np.cumsum(steps)])
+    arc = np.arange(0.0, path_len, 1.0)
+    resampled = np.stack([
+        np.interp(arc, cum, gt_poses[:, 0]),
+        np.interp(arc, cum, gt_poses[:, 1]),
+        np.zeros_like(arc),
+    ], axis=1).astype(np.float32)
     landmarks = S.make_world(
-        rng, trajectory=gt_poses, n_walls=n_walls, corridor=corridor,
+        rng, trajectory=resampled, n_walls=n_walls, corridor=corridor,
         n_clutter=n_walls * 2,
     )
     log(f"world: {len(landmarks)} scatterers over {path_len:.0f} m "
