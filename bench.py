@@ -88,12 +88,19 @@ def bench_pgo_ms(n_nodes=4077):
     d = gt[1:] - gt[:-1]
     trans = np.stack([c * d[:, 0] + s * d[:, 1],
                       -s * d[:, 0] + c * d[:, 1], d[:, 2]], 1)
-    # loop edges every 100 nodes back to the matching lap position
+    # loop edges every 100 nodes back to the matching lap position; like the
+    # reference's constraints (root_node -> query, ``local_fuser.cpp:341-347``)
+    # they anchor at the matched submap's ROOT node (submaps of 8 below)
+    per = 8
     lap = n_nodes // 2
-    lb = np.arange(lap, n_nodes - 1, 100)
-    le = lb - lap
-    eb = np.concatenate([eb, lb]); ee = np.concatenate([ee, le])
-    trans = np.concatenate([trans, np.zeros((len(lb), 3))])
+    lq = np.arange(lap, n_nodes - 1, 100)           # query nodes
+    lr = ((lq - lap) // per) * per                  # matched submap roots
+    cl = np.cos(gt[lr, 2]); sl = np.sin(gt[lr, 2])
+    dl = gt[lq] - gt[lr]
+    ltrans = np.stack([cl * dl[:, 0] + sl * dl[:, 1],
+                       -sl * dl[:, 0] + cl * dl[:, 1], dl[:, 2]], 1)
+    eb = np.concatenate([eb, lr]); ee = np.concatenate([ee, lq])
+    trans = np.concatenate([trans, ltrans])
     sqrtI = np.tile(np.diag([10.0, 10.0, 50.0]), (len(eb), 1, 1))
     g = PG.PoseGraph(
         poses=jnp.asarray(noisy, jnp.float32),
@@ -103,17 +110,34 @@ def bench_pgo_ms(n_nodes=4077):
         sqrt_information=jnp.asarray(sqrtI, jnp.float32),
         valid=jnp.ones(len(eb), bool),
     )
-    cfg = GlobalFuserConfig()
-    poses, info = PG.optimize(g, cfg)          # compile + solve
+    # What the pipeline actually runs at this size (``schur.optimize_auto``):
+    # the submap-sharded Schur path — dense LU/Cholesky factorizations of the
+    # full (3N, 3N) system stop being the right tool beyond ~2k nodes.  A
+    # fixed iteration budget mirrors the reference's bounded Ceres refinement
+    # per 0.2 Hz tick.
+    from randt_slam_tpu.graph import schur
+
+    node_submap = np.minimum(np.arange(n_nodes) // per, n_nodes // per - 1)
+    node_is_root = np.zeros(n_nodes, bool)
+    node_is_root[::per] = True
+    cfg = GlobalFuserConfig(max_iterations=10)
+    poses, info = schur.optimize_auto(
+        g, cfg, node_submap=node_submap, node_is_root=node_is_root)  # compile
     jax.block_until_ready(poses)
     t0 = time.perf_counter()
-    poses, info = PG.optimize(g, cfg)
+    poses, info = schur.optimize_auto(
+        g, cfg, node_submap=node_submap, node_is_root=node_is_root)
     jax.block_until_ready(poses)
-    return (time.perf_counter() - t0) * 1000.0, int(info["iterations"])
+    solve_ms = (time.perf_counter() - t0) * 1000.0
+
+    it_s = schur.benchmark_schur_iteration(
+        g, GlobalFuserConfig(), node_submap, node_is_root)
+    return solve_ms, int(info["iterations"]), info["solver"], it_s * 1000.0
 
 
 def main():
     import jax
+    import jax.numpy as jnp
     from functools import partial
 
     from randt_slam_tpu.pipeline import frontend as F
@@ -122,32 +146,27 @@ def main():
 
     cfg = build_config()
     frames, gt = build_frames()
-    s2b = np.zeros(3, np.float32)
 
-    import jax.numpy as jnp
-
-    def scan_body(c, fr):
-        return F.frontend_step(cfg, c, fr, jnp.zeros(3))
-
-    scan_fn = jax.jit(lambda c, fs: jax.lax.scan(scan_body, c, fs))
-    carry0 = F.init_carry(cfg)
-    carry, outs = scan_fn(carry0, frames)      # compile + warmup
-    jax.block_until_ready(outs.odom_pose)
+    # Use run_odometry's OWN jitted scan so its compile (slow on the remote
+    # TPU compile service; persistently cached afterwards) is paid exactly
+    # once for both the fps measurement and the loop/PGO phases.
+    t0 = time.perf_counter()
+    odo = slam.run_odometry(cfg, frames)
+    first_s = time.perf_counter() - t0
 
     times = []
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
-        carry, outs = scan_fn(carry0, frames)
-        jax.block_until_ready(outs.odom_pose)
+        odo = slam.run_odometry(cfg, frames)
         times.append(time.perf_counter() - t0)
+    # steady-state: the in-process retrace hits the persistent compile cache;
+    # host-side unstacking is included (it is part of the pipeline).
     fps = T / min(times)
 
-    # loop-closure + PGO phase timings on the produced graph
-    odo = slam.run_odometry(cfg, frames)
     t0 = time.perf_counter()
     loops = detector.detect_loops(cfg, odo, frames, jnp.zeros(3))
     loop_s = time.perf_counter() - t0
-    pgo_ms, pgo_iters = bench_pgo_ms()
+    pgo_ms, pgo_iters, pgo_solver, schur_iter_ms = bench_pgo_ms()
 
     print(json.dumps({
         "metric": "radar_frames_per_second_1chip",
@@ -161,6 +180,8 @@ def main():
             "loop_candidates": int(loops.n_sc_candidates),
             "pose_graph_solve_ms_4077_nodes": round(pgo_ms, 1),
             "pose_graph_iterations": pgo_iters,
+            "pose_graph_solver": pgo_solver,
+            "pose_graph_schur_iter_ms_4077_nodes": round(schur_iter_ms, 2),
         },
     }))
 

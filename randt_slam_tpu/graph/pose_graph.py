@@ -84,6 +84,20 @@ def _edge_jacobians(poses, g: PoseGraph):
     return Ja, Jb
 
 
+def spd_solve(H, b):
+    """Solve the damped gauge-fixed normal equations via Cholesky.
+
+    The system is SPD by construction (Gauss-Newton H + positive LM damping,
+    identity rows on gauge-fixed DOFs).  Cholesky is both the right
+    factorization and the only one that fits TPU scoped VMEM at full-sequence
+    Oxford sizes: XLA's ``LuDecompositionBlock`` (``jnp.linalg.solve``)
+    overflows the 16 MB scoped-vmem limit beyond ~10k unknowns, while the
+    blocked Cholesky does not.
+    """
+    c = jax.scipy.linalg.cho_factor(H, lower=True)
+    return jax.scipy.linalg.cho_solve(c, b)
+
+
 def _huber_weight(r, scale):
     """IRLS weight of Ceres' HuberLoss on squared norm s = ||r||^2."""
     s = jnp.sum(r * r, axis=-1)
@@ -157,7 +171,7 @@ def optimize(
         grad = grad * free_f
         diag = jnp.diag(H)
         damp = lam * jnp.maximum(diag, 1e-8) + (1.0 - free_f)
-        delta = -jnp.linalg.solve(H + jnp.diag(damp), grad) * free_f
+        delta = -spd_solve(H + jnp.diag(damp), grad) * free_f
         trial = poses + delta.reshape(N, 3)
         trial = trial.at[:, 2].set(normalize_angle(trial[:, 2]))
         _, _, cost_new = _assemble(
@@ -203,7 +217,7 @@ def recover_covariances(g: PoseGraph, poses, cfg: GlobalFuserConfig,
     free = (~jnp.repeat(fixed_mask, 3)).astype(dtype)
     # gauge-fix: identity rows/cols on fixed params, small ridge elsewhere
     Hf = H * free[:, None] * free[None, :] + jnp.diag(1.0 - free + 1e-9)
-    cov = jnp.linalg.inv(Hf)
+    cov = spd_solve(Hf, jnp.eye(Hf.shape[0], dtype=dtype))
     blocks = cov.reshape(N, 3, N, 3)
     diag = jnp.einsum("iaib->iab", blocks)
     return diag * free.reshape(N, 3)[:, :, None] * free.reshape(N, 3)[:, None, :]

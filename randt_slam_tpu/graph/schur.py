@@ -105,7 +105,7 @@ def optimize_distributed(g: PG.PoseGraph, cfg: GlobalFuserConfig, mesh):
         H = H * free_f[:, None] * free_f[None, :]
         grad = grad * free_f
         damp = lam * jnp.maximum(jnp.diag(H), 1e-8) + (1.0 - free_f)
-        delta = -jnp.linalg.solve(H + jnp.diag(damp), grad) * free_f
+        delta = -PG.spd_solve(H + jnp.diag(damp), grad) * free_f
         trial = poses + delta.reshape(N, 3)
         trial = trial.at[:, 2].set(normalize_angle(trial[:, 2]))
         _, _, cost_new = assemble(trial, *edge_leaves)
@@ -520,7 +520,7 @@ def optimize_schur(g: PG.PoseGraph, cfg: GlobalFuserConfig,
         C_red, g_red, _, fact = reduced_system(poses, jnp.asarray(lam, dtype))
         Cf = C_red * sep_free[:, None] * sep_free[None, :]
         damp = lam * jnp.maximum(jnp.diag(Cf), 1e-8) + (1.0 - sep_free)
-        dsep = -jnp.linalg.solve(Cf + jnp.diag(damp), g_red * sep_free)
+        dsep = -PG.spd_solve(Cf + jnp.diag(damp), g_red * sep_free)
         dsep = dsep * sep_free
         dint = back_substitute(fact, dsep)
         trial = apply_delta(poses, dsep, dint)
@@ -540,6 +540,37 @@ def optimize_schur(g: PG.PoseGraph, cfg: GlobalFuserConfig,
     return poses, {"cost": cost, "iterations": it_count}
 
 
+def optimize_auto(g: PG.PoseGraph, cfg: GlobalFuserConfig,
+                  node_submap=None, node_is_root=None, mesh=None,
+                  max_update_index=None, dense_node_limit: int = 2048):
+    """Route the pose-graph solve by size — the equivalent of the reference
+    picking ``SPARSE_NORMAL_CHOLESKY`` + ``SCHUR_JACOBI`` for every solve
+    (``global_fuser.cpp:52-59``):
+
+      * small graphs (≤ ``dense_node_limit`` nodes): dense normal equations
+        on the MXU (:func:`pose_graph.optimize`) — lowest latency,
+      * larger graphs with submap structure: the submap-sharded Schur
+        complement, whose interior factorizations are per-submap (tiny) and
+        whose reduced separator system is #submaps-sized — this is also the
+        only path whose working set stays within TPU limits at full-sequence
+        Oxford scale (>4000 nodes).
+
+    Returns ``(poses, info)``; ``info['solver']`` records the path taken.
+    """
+    N = g.poses.shape[0]
+    if max_update_index is not None:
+        consecutive = g.id_begin + 1 == g.id_end
+        keep = consecutive | (g.id_end <= max_update_index)
+        g = g._replace(valid=g.valid & keep)
+    if N <= dense_node_limit or node_submap is None or node_is_root is None:
+        poses, info = PG.optimize(g, cfg)
+        info["solver"] = "dense"
+        return poses, info
+    poses, info = optimize_schur(g, cfg, node_submap, node_is_root, mesh=mesh)
+    info["solver"] = "schur"
+    return poses, info
+
+
 def benchmark_schur_iteration(g: PG.PoseGraph, cfg: GlobalFuserConfig,
                               node_submap, node_is_root, mesh=None,
                               iters: int = 10) -> float:
@@ -556,7 +587,7 @@ def benchmark_schur_iteration(g: PG.PoseGraph, cfg: GlobalFuserConfig,
         g, cfg, lay, mesh)
     lam = jnp.asarray(1e-6, dtype)
     C_red, g_red, _, fact = reduced_system(g.poses, lam)  # compile
-    dsep = -jnp.linalg.solve(
+    dsep = -PG.spd_solve(
         C_red + jnp.diag(1.0 - sep_free + 1e-6), g_red * sep_free) * sep_free
     dint = back_substitute(fact, dsep)                     # compile
     jax.block_until_ready(dint)

@@ -185,9 +185,19 @@ def run_slam(
         sqrt_information=jnp.asarray(ei),
         valid=jnp.ones(len(eb), bool),
     )
-    opt_poses, info = PG.optimize(g, cfg.global_fuser)
+    # Size-routed solve (``schur.optimize_auto``): dense MXU normal equations
+    # for small graphs, submap-sharded Schur complement beyond — full-sequence
+    # Oxford graphs (>4000 nodes) exceed the dense factorization's TPU VMEM
+    # budget, and their interior block is submap-diagonal anyway.
+    from ..graph import schur
+
+    opt_poses, info = schur.optimize_auto(
+        g, cfg.global_fuser,
+        node_submap=odo.node_submap, node_is_root=odo.node_is_root,
+    )
     opt_poses = np.asarray(opt_poses)
     timings["pgo_s"] = round(time.perf_counter() - t0, 3)
+    timings["pgo_solver"] = info["solver"]
 
     # Submap re-anchoring (``LocalFuser::updateSubmaps``): each submap origin
     # moves to its root node's optimized pose.
@@ -330,6 +340,24 @@ def render_ogm(cfg: SlamConfig, result: SlamResult, frames: F.Frame,
     return np.asarray(OGM.global_occupancy(total)), np.asarray(count_grids)
 
 
+_SCAN_CACHE: dict = {}
+
+
+def _scan_fn_for(cfg: SlamConfig, s2b_key: tuple):
+    """Memoized jitted lax.scan of the front-end step: repeated
+    ``run_odometry`` calls (benchmarks, multi-sequence drivers) reuse the
+    SAME compiled executable instead of retracing per call."""
+    key = (cfg, s2b_key)
+    if key not in _SCAN_CACHE:
+        s2b = jnp.asarray(s2b_key, jnp.float32)
+
+        def scan_body(c, fr):
+            return F.frontend_step(cfg, c, fr, s2b)
+
+        _SCAN_CACHE[key] = jax.jit(lambda c, fs: jax.lax.scan(scan_body, c, fs))
+    return _SCAN_CACHE[key]
+
+
 def run_odometry(
     cfg: SlamConfig,
     frames: F.Frame,
@@ -354,10 +382,9 @@ def run_odometry(
     step = jax.jit(partial(F.frontend_step, cfg, sensor_to_base=sensor_to_base))
 
     if use_scan:
-        def scan_body(c, fr):
-            return F.frontend_step(cfg, c, fr, sensor_to_base)
-
-        scan_fn = jax.jit(lambda c, fs: jax.lax.scan(scan_body, c, fs))
+        scan_fn = _scan_fn_for(
+            cfg, tuple(np.asarray(sensor_to_base, np.float32).tolist())
+        )
         if chunk and chunk < T:
             outs_list = []
             for lo in range(0, T, chunk):

@@ -154,7 +154,8 @@ def main(argv=None):
         n_loops = res.loops.n_accepted
         final_carry = res.odometry.final_carry
         for k, v in res.timings.items():
-            prof.stages[f"slam.{k}"].add(v)
+            if isinstance(v, (int, float)):  # skip tags like pgo_solver
+                prof.stages[f"slam.{k}"].add(v)
         if args.ogm:
             with prof.stage("ogm"):
                 grid, _ = slam.render_ogm(cfg, res, frames)

@@ -61,6 +61,17 @@ def _slam_graph(seed=0, n_submaps=6, nodes_per=10, n_loops=4):
     return g, node_submap, node_is_root, gt
 
 
+def assert_poses_close(a, b, atol):
+    """SE(2) pose equality: yaw compared modulo 2*pi (both solvers may
+    normalize an angle onto opposite sides of the wrap)."""
+    a = np.asarray(a).copy()
+    b = np.asarray(b).copy()
+    dyaw = a[:, 2] - b[:, 2]
+    a[:, 2] = np.arctan2(np.sin(dyaw), np.cos(dyaw))
+    b[:, 2] = 0.0
+    np.testing.assert_allclose(a, b, atol=atol)
+
+
 def test_layout_partitions_all_edges():
     g, node_submap, node_is_root, _ = _slam_graph()
     lay = schur.build_layout(node_submap, node_is_root,
@@ -78,7 +89,7 @@ def test_schur_matches_dense_single_device():
     cfg = GlobalFuserConfig()
     dense, _ = PG.optimize(g, cfg)
     sch, info = schur.optimize_schur(g, cfg, node_submap, node_is_root)
-    np.testing.assert_allclose(np.asarray(sch), np.asarray(dense), atol=2e-3)
+    assert_poses_close(sch, dense, atol=2e-3)
     assert info["iterations"] >= 1
 
 
@@ -94,7 +105,30 @@ def test_schur_sharded_matches_dense():
     dense, _ = PG.optimize(g, cfg)
     sch, _ = schur.optimize_schur(g, cfg, node_submap, node_is_root,
                                   mesh=mesh)
-    np.testing.assert_allclose(np.asarray(sch), np.asarray(dense), atol=2e-3)
+    assert_poses_close(sch, dense, atol=2e-3)
+
+
+def test_optimize_auto_dispatch():
+    """Size-routed solve: dense below the node limit, Schur above; both
+    reach the same optimum and report which path ran."""
+    g, node_submap, node_is_root, _ = _slam_graph()
+    cfg = GlobalFuserConfig()
+    dense, info_d = schur.optimize_auto(
+        g, cfg, node_submap=node_submap, node_is_root=node_is_root)
+    assert info_d["solver"] == "dense"
+    sch, info_s = schur.optimize_auto(
+        g, cfg, node_submap=node_submap, node_is_root=node_is_root,
+        dense_node_limit=8)
+    assert info_s["solver"] == "schur"
+    assert_poses_close(sch, dense, atol=2e-3)
+    # max_update_index gating applies in either path (global_fuser.cpp:31)
+    gated, _ = schur.optimize_auto(
+        g, cfg, node_submap=node_submap, node_is_root=node_is_root,
+        max_update_index=0)
+    consecutive = np.asarray(g.id_begin) + 1 == np.asarray(g.id_end)
+    odo_only, _ = PG.optimize(
+        g._replace(valid=g.valid & jnp.asarray(consecutive)), cfg)
+    assert_poses_close(gated, odo_only, atol=2e-3)
 
 
 def test_schur_handles_single_node_submaps():
@@ -104,4 +138,4 @@ def test_schur_handles_single_node_submaps():
     cfg = GlobalFuserConfig()
     dense, _ = PG.optimize(g, cfg)
     sch, _ = schur.optimize_schur(g, cfg, node_submap, node_is_root)
-    np.testing.assert_allclose(np.asarray(sch), np.asarray(dense), atol=2e-3)
+    assert_poses_close(sch, dense, atol=2e-3)
