@@ -55,8 +55,20 @@ def make_world(rng, trajectory=None, extent=220.0, min_refl=90.0, max_refl=180.0
         t = np.linspace(-length / 2, length / 2, n)
         pts = c[None, :] + np.outer(t, [np.cos(th), np.sin(th)])
         pts = pts + rng.normal(0, 0.15, pts.shape)  # surface roughness
-        refl = np.full((n, 1), rng.uniform(min_refl, max_refl))
-        refl = refl + rng.normal(0, 5.0, (n, 1))
+        # Along-wall reflectivity TEXTURE (windows, doors, pillars): real
+        # facades vary by >10 dB over a few meters, and that variation is
+        # what gives the intensity-augmented NDT its along-wall (longitudinal)
+        # constraint — a uniform-intensity wall is a slide rail for the
+        # matcher (aperture degeneracy: shifted associations cost nothing in
+        # the intensity channel, which enables velocity-runaway feedback in
+        # straight corridors).  Spatially-correlated texture, ~2 m scale.
+        base = rng.uniform(min_refl, max_refl)
+        n_ctrl = max(2, int(length / 2.0) + 1)
+        ctrl = rng.uniform(-1.0, 1.0, n_ctrl)
+        tex = np.interp(np.linspace(0, n_ctrl - 1, n), np.arange(n_ctrl), ctrl)
+        amp = 0.45 * (max_refl - min_refl)
+        refl = np.clip(base + amp * tex + rng.normal(0, 5.0, n),
+                       0.6 * min_refl, 1.25 * max_refl)[:, None]
         chunks.append(np.concatenate([pts, refl], axis=1))
     if n_clutter:
         if trajectory is not None:
