@@ -135,6 +135,28 @@ def bench_pgo_ms(n_nodes=4077):
     return solve_ms, int(info["iterations"]), info["solver"], it_s * 1000.0
 
 
+def bench_batched_fps(cfg, frames, batch=4):
+    """Aggregate frames/s with ``batch`` independent sequences vmapped on ONE
+    chip (``parallel/batch.py``) — per-sequence SLAM is latency-bound, so
+    fleet throughput is the number that scales with hardware (BASELINE
+    configs 4-5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from randt_slam_tpu.parallel import batch as PB
+
+    frames_b = jax.tree.map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x), (batch,) + x.shape), frames)
+    carries = PB.init_batched_carry(cfg, batch)
+    scan_fn = PB.make_batched_scan(cfg, jnp.zeros(3))
+    _, outs = scan_fn(carries, frames_b)          # compile + warmup
+    jax.block_until_ready(outs.odom_pose)
+    t0 = time.perf_counter()
+    _, outs = scan_fn(carries, frames_b)
+    jax.block_until_ready(outs.odom_pose)
+    return batch * T / (time.perf_counter() - t0)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -167,6 +189,7 @@ def main():
     loops = detector.detect_loops(cfg, odo, frames, jnp.zeros(3))
     loop_s = time.perf_counter() - t0
     pgo_ms, pgo_iters, pgo_solver, schur_iter_ms = bench_pgo_ms()
+    batched_fps = bench_batched_fps(cfg, frames)
 
     print(json.dumps({
         "metric": "radar_frames_per_second_1chip",
@@ -182,6 +205,7 @@ def main():
             "pose_graph_iterations": pgo_iters,
             "pose_graph_solver": pgo_solver,
             "pose_graph_schur_iter_ms_4077_nodes": round(schur_iter_ms, 2),
+            "batched_4seq_frames_per_second_1chip": round(batched_fps, 2),
         },
     }))
 

@@ -184,8 +184,11 @@ def init_carry(cfg: SlamConfig, initial_pose=None, dtype=jnp.float32) -> Fronten
 def build_scan_cells(cfg: SlamConfig, frame: Frame, sensor_to_base) -> tuple:
     """Preprocess + scan NDT (``processScan`` steps 1-2): filter, cluster,
     per-cluster moments, compact to the fixed cell budget."""
+    # Scans may arrive as float16 (halves host RAM and host->device transfer
+    # for long sequences — the upload, not compute, bounds offline replay
+    # throughput); all math runs in float32.
     scan = pp.PolarScan(
-        intensity=frame.intensity,
+        intensity=frame.intensity.astype(jnp.float32),
         azimuths=frame.azimuths,
         ranges=frame.ranges,
         azimuth_mask=frame.azimuth_mask,

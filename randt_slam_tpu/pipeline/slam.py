@@ -71,8 +71,13 @@ def frames_from_arrays(intensity, azimuths, ranges, stamps, imu_yaw=None,
     if imu_yaw is None:
         imu_yaw = np.zeros(T, np.float32)
     xp = np if host else jnp
+    # float16 scans pass through unconverted (the front end upcasts on
+    # device): long offline sequences are host->device-transfer-bound, and
+    # f16 halves both host RAM and upload bytes.
+    i_dtype = xp.float16 if np.asarray(intensity).dtype == np.float16 \
+        else xp.float32
     return F.Frame(
-        intensity=xp.asarray(intensity, xp.float32),
+        intensity=xp.asarray(intensity, i_dtype),
         azimuths=xp.broadcast_to(xp.asarray(azimuths, xp.float32), (T, A)),
         ranges=xp.broadcast_to(xp.asarray(ranges, xp.float32), (T, Rb)),
         azimuth_mask=xp.ones((T, A), bool),

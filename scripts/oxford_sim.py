@@ -112,9 +112,11 @@ def main(argv=None):
     stamps = (np.arange(len(gt)) * DT).astype(np.float32)
 
     cfg = from_reference_yaml(REF_YAML)
-    # frames stay on host; run_odometry uploads per chunk
-    frames = slam.frames_from_arrays(scans.astype(np.float32), azimuths,
-                                     ranges, stamps, host=True)
+    # frames stay on host as float16 (renders are f16 already); run_odometry
+    # uploads per chunk and the front end upcasts on device — halves the
+    # host->device transfer that bounds offline replay throughput
+    frames = slam.frames_from_arrays(scans, azimuths, ranges, stamps,
+                                     host=True)
 
     t0 = time.perf_counter()
     if args.odometry_only:
@@ -134,6 +136,36 @@ def main(argv=None):
         n_loops = res.loops.n_accepted
     wall = time.perf_counter() - t0
 
+    # Loop-edge quality vs ground truth: each accepted edge (root r -> query
+    # q) claims the relative SE(2) trans; compare against gt_r^-1 * gt_q.
+    loop_diag = {}
+    if not args.odometry_only and n_loops:
+        from randt_slam_tpu.geometry import compose, inverse
+
+        import jax.numpy as jnp
+
+        lb = res.loops.edge_begin
+        le = res.loops.edge_end
+        g_r = gt[np.asarray(odo.node_frame)[lb]]
+        g_q = gt[np.asarray(odo.node_frame)[le]]
+        rel_gt = np.asarray(compose(inverse(jnp.asarray(g_r)),
+                                    jnp.asarray(g_q)))
+        err_t = np.linalg.norm(res.loops.edge_trans[:, :2] - rel_gt[:, :2],
+                               axis=1)
+        err_r = np.abs(np.arctan2(
+            np.sin(res.loops.edge_trans[:, 2] - rel_gt[:, 2]),
+            np.cos(res.loops.edge_trans[:, 2] - rel_gt[:, 2])))
+        np.savez(os.path.join(args.output, "loops.npz"),
+                 edge_begin=lb, edge_end=le, trans=res.loops.edge_trans,
+                 rel_gt=rel_gt, err_t=err_t, err_r=err_r,
+                 cs=res.loops.cs_divergences)
+        loop_diag = {
+            "loop_err_t_median_m": round(float(np.median(err_t)), 3),
+            "loop_err_t_max_m": round(float(err_t.max()), 2),
+            "loops_worse_1m": int((err_t > 1.0).sum()),
+            "loops_worse_5m": int((err_t > 5.0).sum()),
+        }
+
     ev_odom = KE.evaluate(KE.poses_from_se2(gt), KE.poses_from_se2(odom))
     ev_slam = KE.evaluate(KE.poses_from_se2(gt[node_frame]),
                           KE.poses_from_se2(node_pose))
@@ -148,6 +180,7 @@ def main(argv=None):
         "odom": {k: round(v, 5) for k, v in ev_odom.items()},
         "slam": {k: round(v, 5) for k, v in ev_slam.items()},
         "timings": timings,
+        **loop_diag,
     }
     with open(os.path.join(args.output, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)
