@@ -32,7 +32,6 @@ kept as the small-graph path.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -163,9 +162,23 @@ class SchurLayout(NamedTuple):
     n_submaps: int
 
 
+def _round_up(x: int, m: int) -> int:
+    return max(m, -(-int(x) // m) * m)
+
+
 def build_layout(node_submap, node_is_root, id_begin, id_end,
-                 pad_submaps_to: int = 1) -> SchurLayout:
-    """Host-side static partition (numpy; runs once per graph shape)."""
+                 pad_submaps_to: int = 1,
+                 bucket_interiors: int = 1, bucket_edges: int = 1,
+                 bucket_seps: int = 1) -> SchurLayout:
+    """Host-side static partition (numpy; runs once per graph shape).
+
+    The ``bucket_*`` arguments round the padded dimensions (interiors I,
+    owned edges Es, local separators L) up to multiples so that layouts of
+    steadily-growing graphs share shape signatures — the per-signature jitted
+    kernels (:func:`_get_kernels`) then hit their cache across PGO ticks
+    instead of re-tracing (the reference pays Ceres problem-construction on
+    every ``optimizePoseGraph`` tick; we pay XLA tracing once per bucket).
+    """
     node_submap = np.asarray(node_submap)
     node_is_root = np.asarray(node_is_root, bool)
     id_begin = np.asarray(id_begin)
@@ -190,6 +203,7 @@ def build_layout(node_submap, node_is_root, id_begin, id_end,
         int_slot[nid] = len(int_lists[s])
         int_lists[s].append(nid)
     I = max(1, max((len(l) for l in int_lists), default=1))
+    I = _round_up(I, bucket_interiors)
     int_node = np.full((S_pad, I), -1, np.int32)
     for s, l in enumerate(int_lists):
         int_node[s, :len(l)] = l
@@ -225,8 +239,10 @@ def build_layout(node_submap, node_is_root, id_begin, id_end,
                 "the Schur layout requires interior blocks to be "
                 "submap-diagonal")
             owned[sa].append((e, 0, int_slot[a], int_slot[b]))
-    Es = max(1, max((len(l) for l in owned), default=1))
-    L = max(1, max((len(d) for d in local_seps), default=1))
+    Es = _round_up(max(1, max((len(l) for l in owned), default=1)),
+                   bucket_edges)
+    L = _round_up(max(1, max((len(d) for d in local_seps), default=1)),
+                  bucket_seps)
     edge_idx = np.full((S_pad, Es), -1, np.int32)
     edge_kind = np.zeros((S_pad, Es), np.int32)
     edge_a = np.zeros((S_pad, Es), np.int32)
@@ -256,11 +272,13 @@ def build_layout(node_submap, node_is_root, id_begin, id_end,
     )
 
 
-def _submap_blocks(poses, g: PG.PoseGraph, lay, L: int,
-                   use_huber: bool, huber_scale: float):
+def _submap_blocks(poses, edges, lay, L: int,
+                   use_huber: bool, huber_scale):
     """Per-submap (vmappable) assembly of A_s, B_s (over the submap's LOCAL
     separator slots), g_int_s and the local cost.  lay fields are the
-    per-submap rows of the SchurLayout."""
+    per-submap rows of the SchurLayout; ``edges`` is the padded edge-leaf
+    tuple (id_begin, id_end, trans, sqrt_information, valid)."""
+    id_begin, id_end, trans, sqrtI_all, valid_all = edges
     eidx, ekind, ea, eb, int_valid = lay
     R = L  # separator endpoints are local slots of width L
     I = int_valid.shape[0]
@@ -268,9 +286,9 @@ def _submap_blocks(poses, g: PG.PoseGraph, lay, L: int,
     safe = jnp.where(ok, eidx, 0)
     sub = PG.PoseGraph(
         poses=poses,
-        id_begin=g.id_begin[safe], id_end=g.id_end[safe],
-        trans=g.trans[safe], sqrt_information=g.sqrt_information[safe],
-        valid=g.valid[safe] & ok,
+        id_begin=id_begin[safe], id_end=id_end[safe],
+        trans=trans[safe], sqrt_information=sqrtI_all[safe],
+        valid=valid_all[safe] & ok,
     )
     r = PG.edge_residuals(poses, sub)
     Ja, Jb = PG._edge_jacobians(poses, sub)
@@ -327,17 +345,17 @@ def _submap_blocks(poses, g: PG.PoseGraph, lay, L: int,
     return A, B, Csep, g_int, g_sep, cost
 
 
-def _ss_blocks(poses, g: PG.PoseGraph, lay: "SchurLayout", R: int,
-               use_huber: bool, huber_scale: float, dtype):
-    """Separator-separator edge contributions (replicated, tiny)."""
-    if len(lay.ss_idx) == 0:
-        return (jnp.zeros((3 * R, 3 * R), dtype), jnp.zeros((3 * R,), dtype),
-                jnp.zeros((), dtype))
-    idx = jnp.asarray(lay.ss_idx)
+def _ss_blocks(poses, edges, ss, R: int, use_huber: bool, huber_scale, dtype):
+    """Separator-separator edge contributions (replicated, tiny).
+
+    ``ss = (idx, sa, sb, ss_valid)`` padded to a static length; invalid
+    (padding) entries carry zero weight."""
+    id_begin, id_end, trans, sqrtI_all, valid_all = edges
+    idx, sa, sb, ss_valid = ss
     sub = PG.PoseGraph(
-        poses=poses, id_begin=g.id_begin[idx], id_end=g.id_end[idx],
-        trans=g.trans[idx], sqrt_information=g.sqrt_information[idx],
-        valid=g.valid[idx],
+        poses=poses, id_begin=id_begin[idx], id_end=id_end[idx],
+        trans=trans[idx], sqrt_information=sqrtI_all[idx],
+        valid=valid_all[idx] & ss_valid,
     )
     r = PG.edge_residuals(poses, sub)
     Ja, Jb = PG._edge_jacobians(poses, sub)
@@ -347,8 +365,6 @@ def _ss_blocks(poses, g: PG.PoseGraph, lay: "SchurLayout", R: int,
     Wa = Ja * w[:, None, None]
     Wb = Jb * w[:, None, None]
     C = jnp.zeros((R, 3, R, 3), dtype)
-    sa = jnp.asarray(lay.ss_a)
-    sb = jnp.asarray(lay.ss_b)
     C = C.at[sa, :, sa, :].add(jnp.einsum("eij,eik->ejk", Wa, Ja))
     C = C.at[sb, :, sb, :].add(jnp.einsum("eij,eik->ejk", Wb, Jb))
     Hab = jnp.einsum("eij,eik->ejk", Wa, Jb)
@@ -361,43 +377,50 @@ def _ss_blocks(poses, g: PG.PoseGraph, lay: "SchurLayout", R: int,
     return C.reshape(3 * R, 3 * R), gs.reshape(3 * R), cost
 
 
-def _build_kernels(g: PG.PoseGraph, cfg: GlobalFuserConfig,
-                   lay: "SchurLayout", mesh):
-    """Jitted per-iteration kernels shared by the optimizer and the scaling
-    benchmark: (reduced_system, back_substitute, total_cost, apply_delta)."""
-    R = len(lay.root_node)
-    N = g.poses.shape[0]
-    dtype = g.poses.dtype
-    I = lay.int_node.shape[1]
+def _mesh_key(mesh):
+    if mesh is None:
+        return None
+    return (tuple(mesh.axis_names), mesh.devices.shape,
+            tuple(d.id for d in mesh.devices.flat))
 
-    L = lay.sep_ids.shape[1]
-    int_node = jnp.asarray(lay.int_node)
-    int_node_safe = jnp.where(int_node >= 0, int_node, 0)
-    int_valid = jnp.asarray(lay.int_valid)
-    root_node = jnp.asarray(lay.root_node)
-    # per-submap separator DOF map: (S, 3L) global reduced-system index,
-    # padded slots -> 3R (dropped by scatter / zero by gather pad)
-    sep_ids = np.asarray(lay.sep_ids)
-    dof = np.where(sep_ids[:, :, None] >= 0,
-                   sep_ids[:, :, None] * 3 + np.arange(3)[None, None, :],
-                   3 * R).reshape(sep_ids.shape[0], 3 * L)
-    sep_dof = jnp.asarray(dof, jnp.int32)
-    per_sub = (jnp.asarray(lay.edge_idx), jnp.asarray(lay.edge_kind),
-               jnp.asarray(lay.edge_a), jnp.asarray(lay.edge_b), int_valid)
 
-    # gauge: first root fixed
-    sep_free = jnp.ones((R, 3), dtype).at[0].set(0.0).reshape(-1)
+# jitted kernels keyed by (shape signature, loss flag, dtype, mesh) — a PGO
+# tick on a bucketed layout re-traces NOTHING (VERDICT r2 item 3: the old
+# per-call closures cost ~3.5 s host/trace overhead per 100 ms of device work)
+_KERNEL_CACHE: dict = {}
+_LAYOUT_CACHE: dict = {}
+_LAYOUT_CACHE_MAX = 8
 
-    use_h = cfg.use_robust_loss
-    scale = cfg.loss_function_scale
 
-    def submap_pass(poses, lam, lay_rows, dof_rows):
+def _layout_cached(node_submap, node_is_root, id_begin, id_end,
+                   n_dev: int) -> "SchurLayout":
+    """Content-addressed cache of :func:`build_layout` (bucketed dims)."""
+    ns = np.ascontiguousarray(np.asarray(node_submap, np.int32))
+    nr = np.ascontiguousarray(np.asarray(node_is_root, bool))
+    ib = np.ascontiguousarray(np.asarray(id_begin, np.int32))
+    ie = np.ascontiguousarray(np.asarray(id_end, np.int32))
+    key = (ns.tobytes(), nr.tobytes(), ib.tobytes(), ie.tobytes(), n_dev)
+    if key not in _LAYOUT_CACHE:
+        if len(_LAYOUT_CACHE) >= _LAYOUT_CACHE_MAX:
+            _LAYOUT_CACHE.pop(next(iter(_LAYOUT_CACHE)))
+        _LAYOUT_CACHE[key] = build_layout(
+            ns, nr, ib, ie,
+            pad_submaps_to=max(n_dev, 1),
+            bucket_interiors=8, bucket_edges=16, bucket_seps=4)
+    return _LAYOUT_CACHE[key]
+
+
+def _make_kernels(N, E, S, I, Es, L, Ess, R, use_h, dtype, mesh):
+    """Jitted per-iteration kernels for one shape signature.  All graph and
+    layout data arrive as runtime arguments, so kernels are reusable across
+    PGO ticks whose padded shapes match."""
+
+    def submap_pass(poses, edges, lay_rows, dof_rows, lam, scale):
         """Per-submap Schur contributions (vmapped; runs inside shard_map).
         Coupling blocks are LOCAL (3L wide); the reduced (3R, 3R) system is
         assembled by scatter-add over the separator-DOF map."""
         A, B, Csep, g_int, g_sep, cost = jax.vmap(
-            partial(_submap_blocks, poses, g, L=L, use_huber=use_h,
-                    huber_scale=scale)
+            lambda rows: _submap_blocks(poses, edges, rows, L, use_h, scale)
         )(lay_rows)
         Sv, Iv = A.shape[0], A.shape[1]
         free = jnp.repeat(lay_rows[4].astype(dtype), 3, axis=-1)  # (Sv, 3I)
@@ -433,27 +456,32 @@ def _build_kernels(g: PG.PoseGraph, cfg: GlobalFuserConfig,
         return (C_red[:3 * R, :3 * R], g_red[:3 * R], jnp.sum(cost),
                 (chol, Bf, gf))
 
-    def reduced_system(poses, lam):
+    def reduced_system(poses, edges, lay_rows, dof_rows, ss, lam, scale):
         if mesh is None:
-            C_red, g_red, cost, fact = submap_pass(poses, lam, per_sub,
-                                                   sep_dof)
+            C_red, g_red, cost, fact = submap_pass(poses, edges, lay_rows,
+                                                   dof_rows, lam, scale)
         else:
-            def local(poses, lam, dof_rows, *rows):
-                C_red, g_red, cost, fact = submap_pass(poses, lam, rows,
-                                                       dof_rows)
+            def local(poses, lam, scale, dof_rows, edges, rows):
+                C_red, g_red, cost, fact = submap_pass(poses, edges, rows,
+                                                       dof_rows, lam, scale)
                 return (jax.lax.psum(C_red, "data"),
                         jax.lax.psum(g_red, "data"),
                         jax.lax.psum(cost, "data"), fact)
             C_red, g_red, cost, fact = shard_map(
                 local, mesh=mesh,
-                in_specs=(P(), P(), P("data"), P("data"), P("data"),
-                          P("data"), P("data"), P("data")),
+                in_specs=(P(), P(), P(), P("data"),
+                          (P(), P(), P(), P(), P()),
+                          (P("data"), P("data"), P("data"), P("data"),
+                           P("data"))),
                 out_specs=(P(), P(), P(), (P("data"), P("data"), P("data"))),
-            )(poses, lam, sep_dof, *per_sub)
-        Css, gss, css = _ss_blocks(poses, g, lay, R, use_h, scale, dtype)
-        return C_red + Css, g_red + gss, cost + css, fact
+            )(poses, lam, scale, dof_rows, edges, lay_rows)
+        if Ess:
+            Css, gss, css = _ss_blocks(poses, edges, ss, R, use_h, scale,
+                                       dtype)
+            return C_red + Css, g_red + gss, cost + css, fact
+        return C_red, g_red, cost, fact
 
-    def back_substitute(fact, dsep):
+    def back_substitute(fact, dof_rows, dsep):
         chol, Bf, gf = fact
 
         def local_back(chol, Bf, gf, dof_rows, dsep):
@@ -465,25 +493,32 @@ def _build_kernels(g: PG.PoseGraph, cfg: GlobalFuserConfig,
             return -d
 
         if mesh is None:
-            return local_back(chol, Bf, gf, sep_dof, dsep)
+            return local_back(chol, Bf, gf, dof_rows, dsep)
         return shard_map(
             local_back, mesh=mesh,
             in_specs=(P("data"), P("data"), P("data"), P("data"), P()),
             out_specs=P("data"),
-        )(chol, Bf, gf, sep_dof, dsep)
+        )(chol, Bf, gf, dof_rows, dsep)
 
-    def total_cost(poses):
-        r = PG.edge_residuals(poses, g._replace(poses=poses))
-        w = g.valid.astype(dtype)
+    def total_cost(poses, edges, scale):
+        id_begin, id_end, trans, sqrtI_all, valid_all = edges
+        sub = PG.PoseGraph(poses=poses, id_begin=id_begin, id_end=id_end,
+                           trans=trans, sqrt_information=sqrtI_all,
+                           valid=valid_all)
+        r = PG.edge_residuals(poses, sub)
+        w = valid_all.astype(dtype)
         if use_h:
             w = w * PG._huber_weight(r, scale)
         return 0.5 * jnp.sum(w * jnp.sum(r * r, axis=-1))
 
-    reduced_system = jax.jit(reduced_system)
-    back_substitute = jax.jit(back_substitute)
-    total_cost = jax.jit(total_cost)
+    def solve_sep(C_red, g_red, sep_free, lam):
+        Cf = C_red * sep_free[:, None] * sep_free[None, :]
+        damp = lam * jnp.maximum(jnp.diag(Cf), 1e-8) + (1.0 - sep_free)
+        dsep = -PG.spd_solve(Cf + jnp.diag(damp), g_red * sep_free)
+        return dsep * sep_free
 
-    def apply_delta(poses, dsep, dint):
+    def apply_delta(poses, dsep, dint, root_node, int_node_safe, int_valid,
+                    sep_free):
         new = poses
         dsep2 = (dsep * sep_free).reshape(R, 3)
         new = new.at[root_node].add(dsep2)
@@ -492,9 +527,148 @@ def _build_kernels(g: PG.PoseGraph, cfg: GlobalFuserConfig,
             jnp.where(int_valid.reshape(-1)[:, None], upd, 0.0))
         return new.at[:, 2].set(normalize_angle(new[:, 2]))
 
-    apply_delta = jax.jit(apply_delta)
-    return reduced_system, back_substitute, total_cost, apply_delta, (
-        R, sep_free)
+    def optimize_loop(poses, edges, lay_rows, dof_rows, ss, sep_free,
+                      root_node, int_node_safe, int_valid, scale,
+                      max_iters, tol):
+        """Full LM loop on device (``lax.while_loop``): ONE dispatch per
+        solve — the per-iteration host round-trips of a Python loop dominate
+        wall time on a remote-attached chip."""
+
+        def body(carry):
+            poses, lam, cost, it, done = carry
+            C_red, g_red, _, fact = reduced_system(
+                poses, edges, lay_rows, dof_rows, ss, lam, scale)
+            dsep = solve_sep(C_red, g_red, sep_free, lam)
+            dint = back_substitute(fact, dof_rows, dsep)
+            trial = apply_delta(poses, dsep, dint, root_node, int_node_safe,
+                                int_valid, sep_free)
+            cost_new = total_cost(trial, edges, scale)
+            accept = cost_new < cost
+            poses_n = jnp.where(accept, trial, poses)
+            lam_n = jnp.clip(jnp.where(accept, lam / 3.0, lam * 4.0),
+                             1e-12, 1e8)
+            step = jnp.linalg.norm(dsep) + jnp.linalg.norm(dint.reshape(-1))
+            small = step < tol * (1.0 + jnp.linalg.norm(poses))
+            done_n = (accept & small) | ((~accept) & (lam >= 1e7))
+            return (poses_n, lam_n, jnp.where(accept, cost_new, cost),
+                    it + 1, done_n)
+
+        def cond(carry):
+            _, _, _, it, done = carry
+            return (it < max_iters) & (~done)
+
+        init = (poses, jnp.asarray(1e-6, dtype),
+                total_cost(poses, edges, scale), jnp.int32(0),
+                jnp.bool_(False))
+        poses, _, cost, iters, _ = jax.lax.while_loop(cond, body, init)
+        return poses, cost, iters
+
+    return {
+        "reduced_system": jax.jit(reduced_system),
+        "back_substitute": jax.jit(back_substitute),
+        "total_cost": jax.jit(total_cost),
+        "solve_sep": jax.jit(solve_sep),
+        "apply_delta": jax.jit(apply_delta),
+        "optimize_loop": jax.jit(optimize_loop),
+    }
+
+
+def _get_kernels(N, E, S, I, Es, L, Ess, R, use_h, dtype, mesh):
+    key = (N, E, S, I, Es, L, Ess, R, use_h, np.dtype(dtype).name,
+           _mesh_key(mesh))
+    if key not in _KERNEL_CACHE:
+        _KERNEL_CACHE[key] = _make_kernels(N, E, S, I, Es, L, Ess, R,
+                                           use_h, dtype, mesh)
+    return _KERNEL_CACHE[key]
+
+
+class _SchurProblem(NamedTuple):
+    """Padded device-resident state for one solve (shapes match a kernel
+    signature in ``_KERNEL_CACHE``)."""
+
+    kernels: dict
+    poses: jax.Array          # (N_pad, 3)
+    edges: tuple              # 5 padded edge leaves
+    lay_rows: tuple           # 5 per-submap layout leaves
+    dof_rows: jax.Array       # (S_pad, 3L)
+    ss: tuple                 # (idx, sa, sb, valid) padded
+    sep_free: jax.Array       # (3 R_pad,)
+    root_node: jax.Array      # (R_pad,)
+    int_node_safe: jax.Array
+    int_valid: jax.Array
+    scale: jax.Array
+    n_nodes: int              # real node count
+
+
+def _prepare(g: PG.PoseGraph, cfg: GlobalFuserConfig, node_submap,
+             node_is_root, mesh) -> _SchurProblem:
+    n_dev = mesh.devices.size if mesh is not None else 1
+    lay = _layout_cached(node_submap, node_is_root, g.id_begin, g.id_end,
+                         n_dev)
+    dtype = g.poses.dtype
+    N = g.poses.shape[0]
+    N_pad = _round_up(N, 256)
+    E = g.id_begin.shape[0]
+    E_pad = _round_up(E, 256)
+    R = len(lay.root_node)
+    R_pad = _round_up(R, 8)
+    Ess = len(lay.ss_idx)
+    Ess_pad = _round_up(Ess, 8) if Ess else 0
+    S_pad, I = lay.int_node.shape
+    Es = lay.edge_idx.shape[1]
+    L = lay.sep_ids.shape[1]
+
+    poses = jnp.concatenate(
+        [g.poses, jnp.zeros((N_pad - N, 3), dtype)]) if N_pad > N else g.poses
+    pad_e = E_pad - E
+    edges = (
+        jnp.concatenate([g.id_begin, jnp.zeros(pad_e, jnp.int32)]),
+        jnp.concatenate([g.id_end, jnp.zeros(pad_e, jnp.int32)]),
+        jnp.concatenate([g.trans, jnp.zeros((pad_e, 3), dtype)]),
+        jnp.concatenate([g.sqrt_information, jnp.zeros((pad_e, 3, 3), dtype)]),
+        jnp.concatenate([g.valid, jnp.zeros(pad_e, bool)]),
+    ) if pad_e else (g.id_begin, g.id_end, g.trans, g.sqrt_information,
+                     g.valid)
+
+    int_node = np.asarray(lay.int_node)
+    lay_rows = (jnp.asarray(lay.edge_idx), jnp.asarray(lay.edge_kind),
+                jnp.asarray(lay.edge_a), jnp.asarray(lay.edge_b),
+                jnp.asarray(lay.int_valid))
+    # per-submap separator DOF map: (S, 3L) reduced-system index; padded
+    # slots -> 3 R_pad (dump row/col sliced off by the kernel)
+    sep_ids = np.asarray(lay.sep_ids)
+    dof = np.where(sep_ids[:, :, None] >= 0,
+                   sep_ids[:, :, None] * 3 + np.arange(3)[None, None, :],
+                   3 * R_pad).reshape(sep_ids.shape[0], 3 * L)
+    dof_rows = jnp.asarray(dof, jnp.int32)
+    if Ess:
+        p = Ess_pad - Ess
+        ss = (jnp.asarray(np.concatenate([lay.ss_idx, np.zeros(p, np.int32)])),
+              jnp.asarray(np.concatenate([lay.ss_a, np.zeros(p, np.int32)])),
+              jnp.asarray(np.concatenate([lay.ss_b, np.zeros(p, np.int32)])),
+              jnp.asarray(np.concatenate([np.ones(Ess, bool),
+                                          np.zeros(p, bool)])))
+    else:
+        z = jnp.zeros(0, jnp.int32)
+        ss = (z, z, z, jnp.zeros(0, bool))
+    # gauge: first root fixed; padded separator slots fixed too
+    sep_free_np = np.ones((R_pad, 3), np.float32)
+    sep_free_np[0] = 0.0
+    sep_free_np[R:] = 0.0
+    sep_free = jnp.asarray(sep_free_np.reshape(-1), dtype)
+    root_node = jnp.asarray(np.concatenate(
+        [lay.root_node, np.zeros(R_pad - R, np.int32)]))
+    int_node_safe = jnp.asarray(np.where(int_node >= 0, int_node, 0))
+    int_valid = jnp.asarray(lay.int_valid)
+
+    kernels = _get_kernels(N_pad, E_pad, S_pad, I, Es, L, Ess_pad, R_pad,
+                           cfg.use_robust_loss, dtype, mesh)
+    return _SchurProblem(
+        kernels=kernels, poses=poses, edges=edges, lay_rows=lay_rows,
+        dof_rows=dof_rows, ss=ss, sep_free=sep_free, root_node=root_node,
+        int_node_safe=int_node_safe, int_valid=int_valid,
+        scale=jnp.asarray(cfg.loss_function_scale, dtype), n_nodes=N,
+    )
 
 
 def optimize_schur(g: PG.PoseGraph, cfg: GlobalFuserConfig,
@@ -504,40 +678,20 @@ def optimize_schur(g: PG.PoseGraph, cfg: GlobalFuserConfig,
     mesh=None runs the identical math single-device (vmapped over submaps);
     with a mesh, the submap axis is sharded over ``data`` and the reduced
     system is psum-reduced.  Gauge: the first ROOT is fixed.
-    """
-    n_dev = mesh.devices.size if mesh is not None else 1
-    lay = build_layout(node_submap, node_is_root, np.asarray(g.id_begin),
-                       np.asarray(g.id_end), pad_submaps_to=n_dev)
-    dtype = g.poses.dtype
-    (reduced_system, back_substitute, total_cost, apply_delta,
-     (R, sep_free)) = _build_kernels(g, cfg, lay, mesh)
 
-    poses = g.poses
-    lam = 1e-6
-    cost = total_cost(poses)
-    it_count = 0
-    for it in range(cfg.max_iterations):
-        C_red, g_red, _, fact = reduced_system(poses, jnp.asarray(lam, dtype))
-        Cf = C_red * sep_free[:, None] * sep_free[None, :]
-        damp = lam * jnp.maximum(jnp.diag(Cf), 1e-8) + (1.0 - sep_free)
-        dsep = -PG.spd_solve(Cf + jnp.diag(damp), g_red * sep_free)
-        dsep = dsep * sep_free
-        dint = back_substitute(fact, dsep)
-        trial = apply_delta(poses, dsep, dint)
-        cost_new = total_cost(trial)
-        it_count = it + 1
-        if bool(cost_new < cost):
-            step = float(jnp.linalg.norm(dsep)) + float(
-                jnp.linalg.norm(dint.reshape(-1)))
-            poses, cost = trial, cost_new
-            lam = max(lam / 3.0, 1e-12)
-            if step < cfg.tolerance * (1.0 + float(jnp.linalg.norm(poses))):
-                break
-        else:
-            lam = min(lam * 4.0, 1e8)
-            if lam >= 1e7:
-                break
-    return poses, {"cost": cost, "iterations": it_count}
+    Kernels are cached by bucketed shape signature (node/edge counts rounded
+    to 256, submaps to 8x mesh, separators to 8): successive PGO ticks on a
+    growing graph reuse the compiled executables, so a tick costs
+    ~iterations x device time instead of re-tracing (VERDICT r2 item 3).
+    """
+    dtype = g.poses.dtype
+    pb = _prepare(g, cfg, node_submap, node_is_root, mesh)
+    K = pb.kernels
+    poses, cost, iters = K["optimize_loop"](
+        pb.poses, pb.edges, pb.lay_rows, pb.dof_rows, pb.ss, pb.sep_free,
+        pb.root_node, pb.int_node_safe, pb.int_valid, pb.scale,
+        jnp.int32(cfg.max_iterations), jnp.asarray(cfg.tolerance, dtype))
+    return poses[:pb.n_nodes], {"cost": cost, "iterations": int(iters)}
 
 
 def optimize_auto(g: PG.PoseGraph, cfg: GlobalFuserConfig,
@@ -579,21 +733,22 @@ def benchmark_schur_iteration(g: PG.PoseGraph, cfg: GlobalFuserConfig,
     measurement in ``dryrun_multichip``."""
     import time
 
-    n_dev = mesh.devices.size if mesh is not None else 1
-    lay = build_layout(node_submap, node_is_root, np.asarray(g.id_begin),
-                       np.asarray(g.id_end), pad_submaps_to=n_dev)
     dtype = g.poses.dtype
-    reduced_system, back_substitute, _, _, (R, sep_free) = _build_kernels(
-        g, cfg, lay, mesh)
+    pb = _prepare(g, cfg, node_submap, node_is_root, mesh)
+    K = pb.kernels
     lam = jnp.asarray(1e-6, dtype)
-    C_red, g_red, _, fact = reduced_system(g.poses, lam)  # compile
-    dsep = -PG.spd_solve(
-        C_red + jnp.diag(1.0 - sep_free + 1e-6), g_red * sep_free) * sep_free
-    dint = back_substitute(fact, dsep)                     # compile
+    C_red, g_red, _, fact = K["reduced_system"](
+        pb.poses, pb.edges, pb.lay_rows, pb.dof_rows, pb.ss, lam,
+        pb.scale)                                          # compile
+    dsep = K["solve_sep"](C_red, g_red, pb.sep_free, lam)
+    dint = K["back_substitute"](fact, pb.dof_rows, dsep)   # compile
     jax.block_until_ready(dint)
     t0 = time.perf_counter()
     for _ in range(iters):
-        C_red, g_red, _, fact = reduced_system(g.poses, lam)
-        dint = back_substitute(fact, dsep)
+        C_red, g_red, _, fact = K["reduced_system"](
+            pb.poses, pb.edges, pb.lay_rows, pb.dof_rows, pb.ss, lam,
+            pb.scale)
+        dsep = K["solve_sep"](C_red, g_red, pb.sep_free, lam)
+        dint = K["back_substitute"](fact, pb.dof_rows, dsep)
     jax.block_until_ready(dint)
     return (time.perf_counter() - t0) / iters

@@ -50,6 +50,19 @@ class LoopResult:
     n_sc_candidates: int
     n_accepted: int
     cs_divergences: np.ndarray
+    # per-query recall diagnostics (aligned to query_node; empty for the
+    # Mahalanobis path): what happened to every querying keyframe —
+    # 0 = no ScanContext candidate under dist_threshold, 1 = candidate in the
+    # query's own submap (rejected, ``local_fuser.cpp:325``), 2 = CS-divergence
+    # gate rejected the refined pose, 3 = accepted as a loop edge.
+    query_node: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int64))
+    query_match: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int64))   # -1 if none
+    query_sc_dist: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.float32))
+    query_stage: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int8))
 
 
 def _keyframe_features(cfg: SlamConfig, frames, node_frames, sensor_to_base,
@@ -129,19 +142,26 @@ def detect_loops(
     match_id = np.asarray(cands.match_id)
     yaw = np.asarray(cands.yaw_rad)
 
+    sc_dist = np.asarray(cands.distance, np.float32)
     found = match_id >= 0
     # reject same-submap matches (``local_fuser.cpp:325``)
     same_submap = np.asarray(node_submap)[query_ids] == np.where(
         found, np.asarray(node_submap)[np.maximum(match_id, 0)], -1
     )
+    stage = np.zeros(len(query_ids), np.int8)
+    stage[found & same_submap] = 1
     found = found & ~same_submap
     sel = np.nonzero(found)[0]
     n_sc = int(len(sel))
+    diag = dict(query_node=query_ids.astype(np.int64),
+                query_match=match_id.astype(np.int64),
+                query_sc_dist=sc_dist, query_stage=stage)
     if n_sc == 0:
         return LoopResult(
             edge_begin=np.zeros(0, np.int64), edge_end=np.zeros(0, np.int64),
             edge_trans=np.zeros((0, 3)), edge_sqrt_information=np.zeros((0, 3, 3)),
             n_sc_candidates=0, n_accepted=0, cs_divergences=np.zeros(0),
+            **diag,
         )
 
     q_nodes = query_ids[sel]                    # query node ids
@@ -237,6 +257,7 @@ def detect_loops(
         lcfg.loop_sqrt_information, np.float64
     )
     keep = np.nonzero(accept)[0]
+    stage[sel] = np.where(accept, 3, 2).astype(np.int8)
     return LoopResult(
         edge_begin=np.asarray(root_nodes)[keep],
         edge_end=q_nodes[keep],
@@ -245,6 +266,7 @@ def detect_loops(
         n_sc_candidates=n_sc,
         n_accepted=int(len(keep)),
         cs_divergences=cs,
+        **diag,
     )
 
 

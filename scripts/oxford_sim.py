@@ -136,6 +136,36 @@ def main(argv=None):
         n_loops = res.loops.n_accepted
     wall = time.perf_counter() - t0
 
+    # Loop RECALL vs ground truth (VERDICT r2 weak-5): a query keyframe has a
+    # genuine revisit opportunity if some earlier foreign-submap keyframe's GT
+    # position lies within ``opp_radius`` and at least ``num_exclude_recent``
+    # keyframes back.  Break every opportunity down by what the detector did
+    # with it (no candidate / same-submap / CS-rejected / accepted).
+    recall_diag = {}
+    if not args.odometry_only and len(res.loops.query_node):
+        L = res.loops
+        opp_radius = 7.5
+        qn = L.query_node
+        gt_nodes = gt[np.asarray(odo.node_frame)]
+        nsub = np.asarray(odo.node_submap)
+        d2 = np.linalg.norm(
+            gt_nodes[qn][:, None, :2] - gt_nodes[None, :, :2], axis=-1)
+        exclude = cfg.scan_context.num_exclude_recent
+        elig = (np.arange(len(gt_nodes))[None, :]
+                <= qn[:, None] - exclude)
+        elig &= nsub[None, :] != nsub[qn][:, None]
+        has_opp = ((d2 < opp_radius) & elig).any(axis=1)
+        stages = L.query_stage[has_opp]
+        recall_diag = {
+            "revisit_opportunities": int(has_opp.sum()),
+            "opp_no_candidate": int((stages == 0).sum()),
+            "opp_same_submap": int((stages == 1).sum()),
+            "opp_cs_rejected": int((stages == 2).sum()),
+            "opp_accepted": int((stages == 3).sum()),
+            "false_candidates": int(
+                ((L.query_stage >= 2) & ~has_opp).sum()),
+        }
+
     # Loop-edge quality vs ground truth: each accepted edge (root r -> query
     # q) claims the relative SE(2) trans; compare against gt_r^-1 * gt_q.
     loop_diag = {}
@@ -169,6 +199,15 @@ def main(argv=None):
     ev_odom = KE.evaluate(KE.poses_from_se2(gt), KE.poses_from_se2(odom))
     ev_slam = KE.evaluate(KE.poses_from_se2(gt[node_frame]),
                           KE.poses_from_se2(node_pose))
+    # compile-separated throughput: chunk 0 carries the XLA compile
+    cs = np.asarray(odo.chunk_seconds)
+    if len(cs) > 1:
+        steady = float(np.median(cs[1:]))
+        timings = dict(timings)
+        timings["odometry_first_chunk_s"] = round(float(cs[0]), 2)
+        timings["odometry_steady_chunk_s"] = round(steady, 2)
+        timings["odometry_steady_fps"] = round(args.chunk / steady, 1)
+
     metrics = {
         "sequence": args.seq,
         "frames": int(len(gt)),
@@ -180,6 +219,7 @@ def main(argv=None):
         "odom": {k: round(v, 5) for k, v in ev_odom.items()},
         "slam": {k: round(v, 5) for k, v in ev_slam.items()},
         "timings": timings,
+        **recall_diag,
         **loop_diag,
     }
     with open(os.path.join(args.output, "metrics.json"), "w") as f:

@@ -145,3 +145,61 @@ def test_saturation_counters_surface(tiny_seq):
     cfg2 = dataclasses.replace(cfg, capacity=tiny_cap)
     res2 = slam.run_odometry(cfg2, frames, use_scan=False)
     assert res2.saturation["scan_cell_budget_frames"] > 0
+
+
+def test_online_pgo_routes_schur_beyond_dense_limit(tiny_seq, monkeypatch):
+    """Online PGO must survive graphs beyond the dense solver's node limit
+    (full-sequence Oxford reaches ~4k nodes): ``optimize_pose_graph`` routes
+    through ``schur.optimize_auto`` (VERDICT r2 weak-4).  Graph state is
+    injected directly — driving 2k+ keyframes through the front end would
+    take minutes without testing anything extra."""
+    from randt_slam_tpu.graph import schur
+    from randt_slam_tpu.pipeline.online import OnlineSlam
+
+    cfg, seq, frames = tiny_seq
+    eng = OnlineSlam(cfg, loop_every=10**9, pgo_every=10**9)
+
+    rng = np.random.default_rng(3)
+    N = 2100
+    per = 10
+    t = np.linspace(0, 4 * np.pi, N)
+    gt = np.stack([40 * np.cos(t), 40 * np.sin(t), t + np.pi / 2], 1)
+    noisy = gt + np.concatenate(
+        [np.zeros((1, 3)), np.cumsum(rng.normal(0, 0.01, (N - 1, 3)), 0)])
+    eng.node_pose = [p.astype(np.float32) for p in noisy]
+    eng.node_submap = (np.arange(N) // per).tolist()
+    eng.node_is_root = (np.arange(N) % per == 0).tolist()
+
+    def rel(a, b):
+        c, s = np.cos(a[2]), np.sin(a[2])
+        d = b - a
+        return np.array([c * d[0] + s * d[1], -s * d[0] + c * d[1],
+                         np.arctan2(np.sin(d[2]), np.cos(d[2]))],
+                        np.float32)
+
+    sqrtI = np.diag([10.0, 10.0, 20.0]).astype(np.float32)
+    eng.edges = [(i, i + 1, rel(gt[i], gt[i + 1]), sqrtI)
+                 for i in range(N - 1)]
+    # a few loop edges root -> later interior (as the detector emits them)
+    for q in range(N // 2 + 5, N - 1, 400):
+        r = (q - N // 2) // per * per
+        eng.edges.append((r, q, rel(gt[r], gt[q]), sqrtI))
+        eng.n_loop_edges += 1
+
+    routed = {}
+    orig = schur.optimize_auto
+
+    def spy(*a, **k):
+        poses, info = orig(*a, **k)
+        routed["solver"] = info["solver"]
+        return poses, info
+
+    monkeypatch.setattr(schur, "optimize_auto", spy)
+    eng.optimize_pose_graph()
+    assert routed["solver"] == "schur"
+    opt = np.stack(eng.node_pose)
+    assert np.all(np.isfinite(opt))
+    # optimization must pull the noisy chain toward ground truth
+    before = np.linalg.norm(noisy[:, :2] - gt[:, :2], axis=1).mean()
+    after = np.linalg.norm(opt[:, :2] - gt[:, :2], axis=1).mean()
+    assert after < 0.5 * before
