@@ -129,10 +129,13 @@ class FrameOutput(NamedTuple):
     rejected: jax.Array       # () bool pose-jump rejection
     n_residuals: jax.Array    # () int32
     # capacity-saturation telemetry (padded-tensor overflow would otherwise
-    # silently degrade maps — VERDICT.md weak item 7)
-    scan_saturated: jax.Array = jnp.bool_(False)   # scan cell budget full
-    submap_saturated: jax.Array = jnp.bool_(False)  # submap table full
-    store_saturated: jax.Array = jnp.bool_(False)   # submap store full
+    # silently degrade maps — VERDICT.md weak item 7).  Plain Python bools:
+    # jnp scalars here would run at class-creation time and initialize the
+    # XLA backend on IMPORT, which breaks multi-process entry points that
+    # must call jax.distributed.initialize() first (tests/test_distributed).
+    scan_saturated: jax.Array | bool = False   # scan cell budget full
+    submap_saturated: jax.Array | bool = False  # submap table full
+    store_saturated: jax.Array | bool = False   # submap store full
 
 
 # ---------------------------------------------------------------------------

@@ -94,6 +94,18 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     os.makedirs(args.output, exist_ok=True)
 
+    # Multi-host entry (BASELINE config 5): a no-op unless the launcher set
+    # RANDT_COORDINATOR/RANDT_NUM_PROCESSES/RANDT_PROCESS_ID — after which
+    # jax.devices() spans every host and the sharded paths ride ICI/DCN.
+    # MUST run before any backend-touching import (jax.distributed rule).
+    from .parallel.mesh import init_distributed
+
+    if init_distributed():
+        import jax
+
+        print(f"distributed: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.device_count()} devices")
+
     import numpy as np
 
     from .io import formats, viz
