@@ -10,8 +10,11 @@ OXFORD_RESULTS.md).
 
 Reported (one JSON line):
   * front-end frames/s over a lax.scan of the full odometry step (primary)
-  * loop-closure phase seconds (batched ScanContext + GNC refine + CS gate)
+  * steady-state END-TO-END frames/s (odometry + loop closure + PGO,
+    compile-separated) on a 1600-frame window containing the sequence's
+    real revisit, so the loop phase does real candidate work
   * pose-graph solve milliseconds at the real sequence's size (4077 nodes)
+  * batch-scaling curve (1/2/4/8 vmapped sequences on one chip)
 
 Baseline: the reference (CPU C++/Ceres) publishes no FPS numbers in-repo
 (BASELINE.md); its hard constraint is the Navtech radar's 4 Hz frame rate.
@@ -41,29 +44,34 @@ def build_config():
     return oxford_config()
 
 
-def build_frames():
+def build_frames(start=0, n_frames=T, host=False):
     from randt_slam_tpu.io import kitti_eval as KE
     from randt_slam_tpu.io import synthetic as S
     from randt_slam_tpu.pipeline import slam
 
     rng = np.random.default_rng(0)
     if os.path.exists(REF_GT):
-        gt44 = KE.load_kitti_poses(REF_GT)[:T]
+        gt44 = KE.load_kitti_poses(REF_GT)[start:start + n_frames]
         gt = np.stack([gt44[:, 0, 3], gt44[:, 1, 3],
                        np.arctan2(gt44[:, 1, 0], gt44[:, 0, 0])], 1)
         gt = gt.astype(np.float32)
     else:
-        gt = S.make_trajectory(rng, T, dt=0.25, speed=4.0)
+        gt = S.make_trajectory(rng, n_frames, dt=0.25, speed=4.0)
     landmarks = S.make_world(rng, trajectory=gt, n_walls=120, corridor=50.0,
                              n_clutter=240)
     az = (np.arange(N_AZ) / N_AZ * 2 * np.pi - np.pi).astype(np.float32)
     n_bins = int(MAX_RANGE / BIN_W)
     ranges = ((np.arange(n_bins) + 0.5) * BIN_W).astype(np.float32)
+    dt = np.float16 if host else np.float32
     scans = np.stack([
-        S.render_scan_fast(p, landmarks, az, ranges, rng) for p in gt
-    ]).astype(np.float32)
-    stamps = (np.arange(T) * 0.25).astype(np.float32)
-    frames = slam.frames_from_arrays(scans, az, ranges, stamps)
+        S.render_scan_fast(
+            p, landmarks[(np.abs(landmarks[:, 0] - p[0]) < MAX_RANGE + 5)
+                         & (np.abs(landmarks[:, 1] - p[1]) < MAX_RANGE + 5)],
+            az, ranges, rng)
+        for p in gt
+    ]).astype(dt)
+    stamps = (np.arange(len(gt)) * 0.25).astype(np.float32)
+    frames = slam.frames_from_arrays(scans, az, ranges, stamps, host=host)
     return frames, gt
 
 
@@ -157,14 +165,74 @@ def bench_batched_fps(cfg, frames, batch=4):
     return batch * T / (time.perf_counter() - t0)
 
 
+def bench_e2e(cfg):
+    """Steady-state END-TO-END throughput at Oxford geometry on a window that
+    CONTAINS the sequence's revisit (GT frames 1200..2800 bracket the
+    ~1423 -> ~2691 revisit pair), so the loop phase measures real candidate
+    work (VERDICT r2 weak-1/2).  Compile is separated per phase: odometry via
+    per-chunk walls (chunk 0 carries the compile), loop + PGO by running each
+    phase a second time in-process (retrace hits the in-process/persistent
+    compile caches; the second call is the steady cost a long-running service
+    pays)."""
+    import jax
+    import jax.numpy as jnp
+
+    from randt_slam_tpu.graph import schur
+    from randt_slam_tpu.loops import detector
+    from randt_slam_tpu.pipeline import slam
+    from randt_slam_tpu.graph import pose_graph as PG
+
+    T2 = 1600
+    frames, gt = build_frames(start=1200, n_frames=T2, host=True)
+    res = slam.run_slam(cfg, frames, use_scan=True, chunk=200)
+    cs = np.asarray(res.odometry.chunk_seconds)
+    odo_steady_s = float(np.median(cs[1:])) * len(cs)
+
+    t0 = time.perf_counter()
+    loops = detector.detect_loops(cfg, res.odometry, frames, jnp.zeros(3))
+    loop_steady_s = time.perf_counter() - t0
+
+    odo = res.odometry
+    eb = np.concatenate([odo.edge_begin, loops.edge_begin]).astype(np.int32)
+    ee = np.concatenate([odo.edge_end, loops.edge_end]).astype(np.int32)
+    et = np.concatenate([odo.edge_trans, loops.edge_trans]).astype(np.float32)
+    ei = np.concatenate(
+        [odo.edge_sqrt_information, loops.edge_sqrt_information]
+    ).astype(np.float32)
+    g = PG.PoseGraph(
+        poses=jnp.asarray(odo.node_pose, jnp.float32),
+        id_begin=jnp.asarray(eb), id_end=jnp.asarray(ee),
+        trans=jnp.asarray(et), sqrt_information=jnp.asarray(ei),
+        valid=jnp.ones(len(eb), bool),
+    )
+    t0 = time.perf_counter()
+    poses, info = schur.optimize_auto(
+        g, cfg.global_fuser, node_submap=odo.node_submap,
+        node_is_root=odo.node_is_root)
+    jax.block_until_ready(poses)
+    pgo_steady_s = time.perf_counter() - t0
+
+    steady_total = odo_steady_s + loop_steady_s + pgo_steady_s
+    return {
+        "e2e_frames": T2,
+        "e2e_steady_fps": round(T2 / steady_total, 2),
+        "e2e_wall_fps_incl_compile": round(
+            T2 / (res.timings["odometry_s"] + res.timings["loop_closure_s"]
+                  + res.timings["pgo_s"]), 2),
+        "e2e_odometry_steady_s": round(odo_steady_s, 1),
+        "e2e_loop_steady_s": round(loop_steady_s, 1),
+        "e2e_pgo_steady_s": round(pgo_steady_s, 2),
+        "e2e_loop_candidates": int(loops.n_sc_candidates),
+        "e2e_loops_accepted": int(loops.n_accepted),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
     from functools import partial
 
-    from randt_slam_tpu.pipeline import frontend as F
     from randt_slam_tpu.pipeline import slam
-    from randt_slam_tpu.loops import detector
 
     cfg = build_config()
     frames, gt = build_frames()
@@ -185,11 +253,15 @@ def main():
     # host-side unstacking is included (it is part of the pipeline).
     fps = T / min(times)
 
-    t0 = time.perf_counter()
-    loops = detector.detect_loops(cfg, odo, frames, jnp.zeros(3))
-    loop_s = time.perf_counter() - t0
     pgo_ms, pgo_iters, pgo_solver, schur_iter_ms = bench_pgo_ms()
-    batched_fps = bench_batched_fps(cfg, frames)
+
+    # batch-scaling curve on one chip (BASELINE config 4; VERDICT r2 item 7)
+    batch_curve = {}
+    for b in (1, 2, 4, 8):
+        batch_curve[f"batched_{b}seq_fps"] = round(
+            bench_batched_fps(cfg, frames, batch=b), 2)
+
+    e2e = bench_e2e(cfg)
 
     print(json.dumps({
         "metric": "radar_frames_per_second_1chip",
@@ -199,13 +271,12 @@ def main():
         "extra": {
             "geometry": f"{N_AZ}x{int(MAX_RANGE / BIN_W)} bins, "
                         f"{cfg.ndt_map.size_x}^2-cell map (parameters_oxford.yaml)",
-            "loop_closure_phase_s": round(loop_s, 3),
-            "loop_candidates": int(loops.n_sc_candidates),
+            **e2e,
             "pose_graph_solve_ms_4077_nodes": round(pgo_ms, 1),
             "pose_graph_iterations": pgo_iters,
             "pose_graph_solver": pgo_solver,
             "pose_graph_schur_iter_ms_4077_nodes": round(schur_iter_ms, 2),
-            "batched_4seq_frames_per_second_1chip": round(batched_fps, 2),
+            **batch_curve,
         },
     }))
 

@@ -145,11 +145,23 @@ def render_scan(pose, landmarks, azimuths, ranges, rng,
 
 
 def render_scan_fast(pose, landmarks, azimuths, ranges, rng,
-                     blob_sigma_bins=1.5, speckle=8.0, beam_sigma_az=1.2):
+                     blob_sigma_bins=1.5, speckle=8.0, beam_sigma_az=1.2,
+                     saturate_at=None, multipath_ghost_prob=0.0,
+                     multipath_atten=0.35, azimuth_jitter_deg=0.0):
     """Vectorized :func:`render_scan` (identical math, no per-landmark Python
     loop): paints every visible scatterer's (5 azimuth x 9 range-bin) blob
     with one ``np.maximum.at`` scatter.  Needed to simulate Oxford-length
-    sequences (thousands of frames) in reasonable time."""
+    sequences (thousands of frames) in reasonable time.
+
+    Sensor-fidelity ablations (all off by default; OXFORD_RESULTS.md §5):
+      saturate_at: receiver saturation — clip the final image at this power
+        (the Navtech sensor quantizes to uint8, hard-capping strong facades).
+      multipath_ghost_prob: each visible scatterer spawns, with this
+        probability, a ghost return at twice its range on the same azimuth
+        with ``multipath_atten`` of its reflectivity (double-bounce echo).
+      azimuth_jitter_deg: per-frame Gaussian jitter of every return's azimuth
+        (encoder noise / timing skew), in degrees std.
+    """
     A, R = len(azimuths), len(ranges)
     bin_width = float(ranges[1] - ranges[0])
     c, s = np.cos(pose[2]), np.sin(pose[2])
@@ -164,6 +176,15 @@ def render_scan_fast(pose, landmarks, azimuths, ranges, rng,
     lx, ly, rr = lx[vis], ly[vis], rr[vis]
     refl = landmarks[vis, 2]
     aa = np.arctan2(ly, lx)
+    if multipath_ghost_prob > 0.0:
+        ghost = rng.random(len(rr)) < multipath_ghost_prob
+        g_rr = 2.0 * rr[ghost]
+        g_ok = g_rr < ranges[-1]
+        rr = np.concatenate([rr, g_rr[g_ok]])
+        aa = np.concatenate([aa, aa[ghost][g_ok]])
+        refl = np.concatenate([refl, multipath_atten * refl[ghost][g_ok]])
+    if azimuth_jitter_deg > 0.0:
+        aa = aa + rng.normal(0.0, np.deg2rad(azimuth_jitter_deg), aa.shape)
     az_frac = (aa - azimuths[0]) / (azimuths[1] - azimuths[0])
     r_idx = (rr - ranges[0]) / bin_width
 
@@ -183,6 +204,8 @@ def render_scan_fast(pose, landmarks, azimuths, ranges, rng,
     prof = np.where(ok_r[:, None, :], prof, 0.0).astype(np.float32)
     flat = (a_rows[:, :, None] * R + np.minimum(bins, R - 1)[:, None, :])
     np.maximum.at(img.reshape(-1), flat.reshape(-1), prof.reshape(-1))
+    if saturate_at is not None:
+        np.minimum(img, np.float32(saturate_at), out=img)
     return img
 
 

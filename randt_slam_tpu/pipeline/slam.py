@@ -76,11 +76,13 @@ def frames_from_arrays(intensity, azimuths, ranges, stamps, imu_yaw=None,
     if imu_yaw is None:
         imu_yaw = np.zeros(T, np.float32)
     xp = np if host else jnp
-    # float16 scans pass through unconverted (the front end upcasts on
-    # device): long offline sequences are host->device-transfer-bound, and
-    # f16 halves both host RAM and upload bytes.
-    i_dtype = xp.float16 if np.asarray(intensity).dtype == np.float16 \
-        else xp.float32
+    # float16/uint8 scans pass through unconverted (the front end upcasts on
+    # device, ``frontend.py``): long offline sequences are
+    # host->device-transfer-bound; f16 halves and uint8 quarters both host
+    # RAM and upload bytes.  uint8 is lossless for real Navtech data (the
+    # sensor quantizes return power to uint8 anyway).
+    src = np.asarray(intensity).dtype
+    i_dtype = src if src in (np.float16, np.uint8) else xp.float32
     return F.Frame(
         intensity=xp.asarray(intensity, i_dtype),
         azimuths=xp.broadcast_to(xp.asarray(azimuths, xp.float32), (T, A)),
@@ -255,7 +257,8 @@ def render_ogm(cfg: SlamConfig, result: SlamResult, frames: F.Frame,
     # host per fixed-size chunk so host-resident sequences work)
     def beams_of(fr):
         scan = pp.PolarScan(
-            intensity=fr.intensity, azimuths=fr.azimuths, ranges=fr.ranges,
+            intensity=fr.intensity.astype(jnp.float32),
+            azimuths=fr.azimuths, ranges=fr.ranges,
             azimuth_mask=fr.azimuth_mask,
         )
         filt = pp.filter_scan(scan, cfg.preprocessor, sensor_to_base)
@@ -398,14 +401,23 @@ def run_odometry(
         if chunk and chunk < T:
             import time as _time
 
+            def _put(lo, hi):
+                return jax.device_put(
+                    jax.tree.map(lambda x: x[lo:hi], frames))
+
             outs_list = []
             chunk_seconds = []
+            nxt = _put(0, min(chunk, T))
             for lo in range(0, T, chunk):
                 t_c = _time.perf_counter()
                 hi = min(lo + chunk, T)
-                part = jax.tree.map(lambda x: x[lo:hi], frames)
-                carry, outs = scan_fn(carry, part)
-                outs_list.append(jax.tree.map(np.asarray, outs))
+                part = nxt
+                carry, outs = scan_fn(carry, part)     # async dispatch
+                if hi < T:
+                    # double-buffer: chunk i+1's host->device upload overlaps
+                    # chunk i's device compute (VERDICT r2 item 2)
+                    nxt = _put(hi, min(hi + chunk, T))
+                outs_list.append(jax.tree.map(np.asarray, outs))  # sync point
                 chunk_seconds.append(_time.perf_counter() - t_c)
             outs = jax.tree.map(
                 lambda *xs: np.concatenate(xs, axis=0), *outs_list
