@@ -204,6 +204,19 @@ class LocalFuserConfig:
     # before GNC refinement.  Widens the loop-closure convergence basin from
     # ~1-2 m to the CSM window at the cost of one batched scoring pass.
     csm_prealign_loops: bool = False
+    # TPU extension (no reference counterpart): odometry-consistency gate on
+    # refined loop edges.  A refined loop pose whose discrepancy against the
+    # odometry-chained relative pose exceeds what odometry drift over the
+    # traversed span can explain is a wrong-basin NDT refinement (aliased
+    # structure) that slipped under the CS-divergence gate; yaw is the
+    # decisive axis (a wrong relative yaw between two far-apart anchors bends
+    # the whole unconstrained arc between them at PGO).  Limits grow linearly
+    # with traversed distance between the edge endpoints.
+    loop_odom_gate: bool = True
+    loop_odom_gate_rot_base_deg: float = 1.5
+    loop_odom_gate_rot_deg_per_100m: float = 0.2
+    loop_odom_gate_trans_base_m: float = 3.0
+    loop_odom_gate_trans_pct: float = 2.0   # % of traversed span
     max_data_association_mahalanobis_dist: float = 0.5
     loop_sqrt_information: tuple = ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 0.1))
     # Odometry edge sqrt-information, fixed in the reference
@@ -219,6 +232,20 @@ class GlobalFuserConfig:
     loss_function_scale: float = 750.0
     max_iterations: int = 100  # GN iterations of the batched solver
     tolerance: float = 1e-9
+    # --- TPU-native extensions (no reference counterpart; the defaults
+    # reproduce ``global_fuser.cpp:17-23`` exactly: Huber on ALL edges).
+    # "dcs" = Dynamic Covariance Scaling (Agarwal et al., ICRA 2013), a
+    # redescending kernel that suppresses gross loop-closure outliers far
+    # harder than Huber's linear tail.
+    robust_kernel: str = "huber"        # "huber" | "dcs"
+    # Apply the robust kernel only to non-consecutive (loop) edges; odometry
+    # edges stay quadratic (they are trusted by construction).
+    robust_loop_edges_only: bool = False
+    # Solve the quadratic problem to convergence first, then re-solve with
+    # robust weights from that solution — at the least-squares optimum the
+    # residual of an inconsistent loop edge concentrates on itself, so IRLS
+    # identifies outliers without suppressing genuine drift-corrupted loops.
+    robust_two_stage: bool = False
 
 
 @dataclass(frozen=True)

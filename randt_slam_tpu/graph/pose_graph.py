@@ -105,13 +105,45 @@ def _huber_weight(r, scale):
     return jnp.where(s <= b, 1.0, jnp.sqrt(b / jnp.maximum(s, 1e-30)))
 
 
-def _assemble(poses, g: PoseGraph, use_huber: bool, huber_scale: float):
+def _dcs_weight(r, scale):
+    """IRLS weight of Dynamic Covariance Scaling (Agarwal et al., ICRA'13):
+    w = min(1, (2*phi / (phi + s))^2), s = ||r||^2, phi = scale^2.  Unlike
+    Huber's 1/||r|| tail this redescends, driving gross outliers to ~zero."""
+    s = jnp.sum(r * r, axis=-1)
+    phi = scale * scale
+    return jnp.minimum(1.0, (2.0 * phi / (phi + s)) ** 2)
+
+
+def robust_spec(cfg: GlobalFuserConfig):
+    """Hashable robust-loss spec — ``None`` when off, else
+    ``(kernel, loop_edges_only)``.  Used both to compute IRLS weights and as
+    part of the Schur kernel-cache key."""
+    if not cfg.use_robust_loss:
+        return None
+    return (cfg.robust_kernel, bool(cfg.robust_loop_edges_only))
+
+
+def robust_weight(r, id_begin, id_end, scale, spec):
+    """Per-edge IRLS weight for a robust spec (``spec`` is static)."""
+    kernel, loop_only = spec
+    if kernel == "dcs":
+        w = _dcs_weight(r, scale)
+    elif kernel == "huber":
+        w = _huber_weight(r, scale)
+    else:
+        raise ValueError(f"unknown robust kernel {kernel!r}")
+    if loop_only:
+        w = jnp.where(id_begin + 1 != id_end, w, 1.0)
+    return w
+
+
+def _assemble(poses, g: PoseGraph, robust, huber_scale: float):
     N = poses.shape[0]
     r = edge_residuals(poses, g)
     Ja, Jb = _edge_jacobians(poses, g)
     w = g.valid.astype(poses.dtype)
-    if use_huber:
-        w = w * _huber_weight(r, huber_scale)
+    if robust is not None:
+        w = w * robust_weight(r, g.id_begin, g.id_end, huber_scale, robust)
     Wa = Ja * w[:, None, None]
     Wb = Jb * w[:, None, None]
 
@@ -160,11 +192,12 @@ def optimize(
 
     free = ~jnp.repeat(fixed_mask, 3)
     free_f = free.astype(dtype)
+    robust = robust_spec(cfg)
 
     def body(carry):
         poses, lam, cost_prev, it, done = carry
         H, grad, cost = _assemble(
-            poses, g._replace(poses=poses), cfg.use_robust_loss,
+            poses, g._replace(poses=poses), robust,
             cfg.loss_function_scale,
         )
         H = H * free_f[:, None] * free_f[None, :]
@@ -175,7 +208,7 @@ def optimize(
         trial = poses + delta.reshape(N, 3)
         trial = trial.at[:, 2].set(normalize_angle(trial[:, 2]))
         _, _, cost_new = _assemble(
-            trial, g._replace(poses=trial), cfg.use_robust_loss,
+            trial, g._replace(poses=trial), robust,
             cfg.loss_function_scale,
         )
         accept = cost_new < cost
@@ -211,7 +244,7 @@ def recover_covariances(g: PoseGraph, poses, cfg: GlobalFuserConfig,
     if fixed_mask is None:
         fixed_mask = jnp.zeros(N, bool).at[0].set(True)
     H, _, _ = _assemble(
-        poses, g._replace(poses=poses), cfg.use_robust_loss,
+        poses, g._replace(poses=poses), robust_spec(cfg),
         cfg.loss_function_scale,
     )
     free = (~jnp.repeat(fixed_mask, 3)).astype(dtype)

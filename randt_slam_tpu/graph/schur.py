@@ -84,7 +84,7 @@ def optimize_distributed(g: PG.PoseGraph, cfg: GlobalFuserConfig, mesh):
             sqrt_information=sqrtI, valid=valid,
         )
         H, grad, cost = PG._assemble(
-            poses, sub, cfg.use_robust_loss, cfg.loss_function_scale
+            poses, sub, PG.robust_spec(cfg), cfg.loss_function_scale
         )
         H = jax.lax.psum(H, "data")
         grad = jax.lax.psum(grad, "data")
@@ -273,7 +273,7 @@ def build_layout(node_submap, node_is_root, id_begin, id_end,
 
 
 def _submap_blocks(poses, edges, lay, L: int,
-                   use_huber: bool, huber_scale):
+                   robust, huber_scale):
     """Per-submap (vmappable) assembly of A_s, B_s (over the submap's LOCAL
     separator slots), g_int_s and the local cost.  lay fields are the
     per-submap rows of the SchurLayout; ``edges`` is the padded edge-leaf
@@ -293,8 +293,9 @@ def _submap_blocks(poses, edges, lay, L: int,
     r = PG.edge_residuals(poses, sub)
     Ja, Jb = PG._edge_jacobians(poses, sub)
     w = sub.valid.astype(poses.dtype)
-    if use_huber:
-        w = w * PG._huber_weight(r, huber_scale)
+    if robust is not None:
+        w = w * PG.robust_weight(r, sub.id_begin, sub.id_end,
+                                 huber_scale, robust)
     Wa = Ja * w[:, None, None]
     Wb = Jb * w[:, None, None]
     Haa = jnp.einsum("eij,eik->ejk", Wa, Ja)
@@ -345,7 +346,7 @@ def _submap_blocks(poses, edges, lay, L: int,
     return A, B, Csep, g_int, g_sep, cost
 
 
-def _ss_blocks(poses, edges, ss, R: int, use_huber: bool, huber_scale, dtype):
+def _ss_blocks(poses, edges, ss, R: int, robust, huber_scale, dtype):
     """Separator-separator edge contributions (replicated, tiny).
 
     ``ss = (idx, sa, sb, ss_valid)`` padded to a static length; invalid
@@ -360,8 +361,9 @@ def _ss_blocks(poses, edges, ss, R: int, use_huber: bool, huber_scale, dtype):
     r = PG.edge_residuals(poses, sub)
     Ja, Jb = PG._edge_jacobians(poses, sub)
     w = sub.valid.astype(dtype)
-    if use_huber:
-        w = w * PG._huber_weight(r, huber_scale)
+    if robust is not None:
+        w = w * PG.robust_weight(r, sub.id_begin, sub.id_end,
+                                 huber_scale, robust)
     Wa = Ja * w[:, None, None]
     Wb = Jb * w[:, None, None]
     C = jnp.zeros((R, 3, R, 3), dtype)
@@ -507,8 +509,8 @@ def _make_kernels(N, E, S, I, Es, L, Ess, R, use_h, dtype, mesh):
                            valid=valid_all)
         r = PG.edge_residuals(poses, sub)
         w = valid_all.astype(dtype)
-        if use_h:
-            w = w * PG._huber_weight(r, scale)
+        if use_h is not None:
+            w = w * PG.robust_weight(r, id_begin, id_end, scale, use_h)
         return 0.5 * jnp.sum(w * jnp.sum(r * r, axis=-1))
 
     def solve_sep(C_red, g_red, sep_free, lam):
@@ -662,7 +664,7 @@ def _prepare(g: PG.PoseGraph, cfg: GlobalFuserConfig, node_submap,
     int_valid = jnp.asarray(lay.int_valid)
 
     kernels = _get_kernels(N_pad, E_pad, S_pad, I, Es, L, Ess_pad, R_pad,
-                           cfg.use_robust_loss, dtype, mesh)
+                           PG.robust_spec(cfg), dtype, mesh)
     return _SchurProblem(
         kernels=kernels, poses=poses, edges=edges, lay_rows=lay_rows,
         dof_rows=dof_rows, ss=ss, sep_free=sep_free, root_node=root_node,
@@ -716,13 +718,31 @@ def optimize_auto(g: PG.PoseGraph, cfg: GlobalFuserConfig,
         consecutive = g.id_begin + 1 == g.id_end
         keep = consecutive | (g.id_end <= max_update_index)
         g = g._replace(valid=g.valid & keep)
-    if N <= dense_node_limit or node_submap is None or node_is_root is None:
-        poses, info = PG.optimize(g, cfg)
-        info["solver"] = "dense"
+
+    def _solve(graph, c):
+        if N <= dense_node_limit or node_submap is None or node_is_root is None:
+            poses, info = PG.optimize(graph, c)
+            info["solver"] = "dense"
+        else:
+            poses, info = optimize_schur(graph, c, node_submap, node_is_root,
+                                         mesh=mesh)
+            info["solver"] = "schur"
         return poses, info
-    poses, info = optimize_schur(g, cfg, node_submap, node_is_root, mesh=mesh)
-    info["solver"] = "schur"
-    return poses, info
+
+    if cfg.use_robust_loss and cfg.robust_two_stage:
+        # Stage 1: plain least squares to convergence.  Stage 2: re-solve
+        # from that optimum with robust IRLS weights — there, the residual of
+        # an inconsistent loop edge concentrates on itself (the 472:1
+        # inlier majority pins the solution), so the kernel suppresses true
+        # outliers instead of genuine drift-corrupted loops at init.
+        import dataclasses
+
+        pre = dataclasses.replace(cfg, use_robust_loss=False)
+        poses1, _ = _solve(g, pre)
+        poses, info = _solve(g._replace(poses=poses1), cfg)
+        info["two_stage"] = True
+        return poses, info
+    return _solve(g, cfg)
 
 
 def benchmark_schur_iteration(g: PG.PoseGraph, cfg: GlobalFuserConfig,

@@ -50,6 +50,9 @@ class LoopResult:
     n_sc_candidates: int
     n_accepted: int
     cs_divergences: np.ndarray
+    # candidates that passed the CS gate but failed the odometry-consistency
+    # gate (TPU-native extension, ``odom_consistency_gate``)
+    n_odom_gate_rejected: int = 0
     # per-query recall diagnostics (aligned to query_node; empty for the
     # Mahalanobis path): what happened to every querying keyframe —
     # 0 = no ScanContext candidate under dist_threshold, 1 = candidate in the
@@ -100,6 +103,29 @@ def _keyframe_features(cfg: SlamConfig, frames, node_frames, sensor_to_base,
     )
     rk = jax.vmap(SC.ring_key)(desc)
     return mean, cov, valid, stats, desc, rk
+
+
+def odom_consistency_gate(lcfg, edge_trans, rel_odom, span_m):
+    """Odometry-consistency gate on refined loop edges (TPU-native extension,
+    see ``LocalFuserConfig.loop_odom_gate``): accept only edges whose
+    discrepancy against the odometry-chained relative pose stays inside a
+    drift envelope that grows with the traversed span between the endpoints.
+
+    edge_trans, rel_odom: (L, 3) relative SE(2); span_m: (L,) meters.
+    Returns a (L,) bool accept mask (all-True when the gate is disabled)."""
+    if not lcfg.loop_odom_gate:
+        return np.ones(len(edge_trans), bool)
+    edge_trans = np.asarray(edge_trans)
+    rel_odom = np.asarray(rel_odom)
+    span_m = np.abs(np.asarray(span_m))
+    dyaw = np.abs(np.arctan2(np.sin(edge_trans[:, 2] - rel_odom[:, 2]),
+                             np.cos(edge_trans[:, 2] - rel_odom[:, 2])))
+    dt = np.linalg.norm(edge_trans[:, :2] - rel_odom[:, :2], axis=1)
+    rot_lim = np.radians(lcfg.loop_odom_gate_rot_base_deg
+                         + lcfg.loop_odom_gate_rot_deg_per_100m * span_m / 100.0)
+    trans_lim = (lcfg.loop_odom_gate_trans_base_m
+                 + lcfg.loop_odom_gate_trans_pct / 100.0 * span_m)
+    return (dyaw <= rot_lim) & (dt <= trans_lim)
 
 
 def detect_loops(
@@ -252,6 +278,16 @@ def detect_loops(
     cs = np.asarray(jnp.concatenate(cs_parts)[:n_cand])
     accept = cs < lcfg.loop_closure_max_cs_divergence
 
+    # ---- step 4.5: odometry-consistency gate (TPU-native extension) --------
+    rel_odom = compose(inverse(jnp.asarray(odo.node_pose[root_nodes], dtype)),
+                       jnp.asarray(odo.node_pose[q_nodes], dtype))
+    span_m = (np.asarray(odo.node_traversed)[q_nodes]
+              - np.asarray(odo.node_traversed)[root_nodes])
+    odom_ok = odom_consistency_gate(lcfg, np.asarray(est.pose), rel_odom,
+                                    span_m)
+    n_odom_rej = int((accept & ~odom_ok).sum())
+    accept &= odom_ok
+
     # ---- step 5: loop edges -------------------------------------------------
     sqrtI = lcfg.loop_closure_weight * np.asarray(
         lcfg.loop_sqrt_information, np.float64
@@ -266,6 +302,7 @@ def detect_loops(
         n_sc_candidates=n_sc,
         n_accepted=int(len(keep)),
         cs_divergences=cs,
+        n_odom_gate_rejected=n_odom_rej,
         **diag,
     )
 
@@ -418,6 +455,14 @@ def detect_loops_mahalanobis(
         f_self, m_self
     ))
     accept = cs < lcfg.loop_closure_max_cs_divergence
+    rel_odom = compose(inverse(jnp.asarray(odo.node_pose[root_nodes], dtype)),
+                       jnp.asarray(odo.node_pose[q_nodes], dtype))
+    span_m = (np.asarray(odo.node_traversed)[q_nodes]
+              - np.asarray(odo.node_traversed)[root_nodes])
+    odom_ok = odom_consistency_gate(lcfg, np.asarray(est.pose), rel_odom,
+                                    span_m)
+    n_odom_rej = int((accept & ~odom_ok).sum())
+    accept &= odom_ok
     sqrtI = lcfg.loop_closure_weight * np.asarray(
         lcfg.loop_sqrt_information, np.float64
     )
@@ -430,4 +475,5 @@ def detect_loops_mahalanobis(
         n_sc_candidates=int(len(q_nodes)),
         n_accepted=int(len(keep)),
         cs_divergences=cs,
+        n_odom_gate_rejected=n_odom_rej,
     )

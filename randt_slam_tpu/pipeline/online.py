@@ -287,7 +287,17 @@ class OnlineSlam:
             m_mean, m_cov, m_valid = self._node_cells[q]
             pose, cs = self._refine(guess, f_mean, f_cov, f_valid,
                                     m_mean, m_cov, m_valid)
-            if float(cs) < cfg.local_fuser.loop_closure_max_cs_divergence:
+            from ..loops.detector import odom_consistency_gate
+
+            rel_odom = compose(inverse(root_pose),
+                               jnp.asarray(self.node_pose[q]))
+            span_m = np.asarray(
+                [self.node_traversed[q] - self.node_traversed[root]])
+            odom_ok = bool(odom_consistency_gate(
+                cfg.local_fuser, np.asarray(pose)[None],
+                np.asarray(rel_odom)[None], span_m)[0])
+            if odom_ok and (float(cs)
+                            < cfg.local_fuser.loop_closure_max_cs_divergence):
                 sqrtI = cfg.local_fuser.loop_closure_weight * np.asarray(
                     cfg.local_fuser.loop_sqrt_information, np.float32)
                 self.edges.append((root, q, np.asarray(pose), sqrtI))

@@ -216,7 +216,9 @@ def main(argv=None):
         np.savez(os.path.join(args.output, "loops.npz"),
                  edge_begin=lb, edge_end=le, trans=res.loops.edge_trans,
                  rel_gt=rel_gt, err_t=err_t, err_r=err_r,
-                 cs=res.loops.cs_divergences)
+                 cs=res.loops.cs_divergences,
+                 node_pose_odom=np.asarray(odo.node_pose),
+                 node_traversed=np.asarray(odo.node_traversed))
         loop_diag = {
             "loop_err_t_median_m": round(float(np.median(err_t)), 3),
             "loop_err_t_max_m": round(float(err_t.max()), 2),
@@ -245,7 +247,10 @@ def main(argv=None):
         "frames_per_second": round(len(gt) / wall, 2),
         "n_nodes": int(len(node_pose)),
         "n_loop_closures": int(n_loops),
+        "n_odom_gate_rejected": (0 if args.odometry_only
+                                 else int(res.loops.n_odom_gate_rejected)),
         "rejected_frames": int(np.asarray(odo.rejected_frames).sum()),
+        "saturation": odo.saturation,
         "odom": {k: round(v, 5) for k, v in ev_odom.items()},
         "slam": {k: round(v, 5) for k, v in ev_slam.items()},
         "timings": timings,

@@ -121,3 +121,90 @@ def test_recover_covariances_chain_growth():
     sx = cov[:, 0, 0]
     assert np.all(np.diff(sx[1:]) > 0), sx
     np.testing.assert_allclose(sx[1], 1.0, rtol=1e-4)
+
+
+def _outlier_loop_graph(rng, n=400, drift=0.01):
+    """Replica of the acceptance-run failure mode (10-12-32): a drifting
+    chain, a dense cluster of accurate loop closures late in the trajectory,
+    and ONE gross outlier loop edge bridging an otherwise unconstrained early
+    region — exactly the topology where a single bad edge warps the graph."""
+    g, gt, est = make_circle_graph(rng, n=n, drift=drift, n_loops=0)
+    eb = list(np.asarray(g.id_begin))
+    ee = list(np.asarray(g.id_end))
+    et = list(np.asarray(g.trans))
+    ei = list(np.asarray(g.sqrt_information))
+    loop_sqrtI = np.diag([1.0, 1.0, 0.1])
+    for a, b in [(n - 120 + 7 * k, n - 60 + 7 * k) for k in range(8)]:
+        rel = np.asarray(geo.relative(jnp.asarray(gt[a]), jnp.asarray(gt[b])))
+        eb.append(a); ee.append(b); et.append(rel); ei.append(loop_sqrtI)
+    # the outlier: inside the loop-pinned late region, 4 m off in
+    # translation — the good loops hold the truth, so the outlier's residual
+    # survives at the least-squares optimum and IRLS can identify it
+    a, b = n - 115, n - 55
+    rel = np.array(geo.relative(jnp.asarray(gt[a]), jnp.asarray(gt[b])))
+    rel[:2] += [3.0, -2.6]
+    eb.append(a); ee.append(b); et.append(rel); ei.append(loop_sqrtI)
+    E = len(eb)
+    bad = PG.PoseGraph(
+        poses=jnp.asarray(est, jnp.float32),
+        id_begin=jnp.asarray(eb, jnp.int32),
+        id_end=jnp.asarray(ee, jnp.int32),
+        trans=jnp.asarray(np.stack(et), jnp.float32),
+        sqrt_information=jnp.asarray(np.stack(ei), jnp.float32),
+        valid=jnp.ones(E, bool),
+    )
+    return bad, gt
+
+
+def test_dcs_two_stage_suppresses_outlier_loop():
+    """TPU-native robust-PGO extension: DCS on loop edges only, two-stage.
+    The quadratic solve is visibly corrupted by the outlier; the robust solve
+    must land near ground truth (reference has only all-edge Huber,
+    ``global_fuser.cpp:17-23``, and runs Oxford with it off).
+
+    NOTE the topology: the outlier must land in a region pinned by good
+    loops.  An outlier bridging an otherwise-unconstrained arc is ABSORBED
+    by the least-squares optimum (its residual goes small while the arc
+    bends) and no residual-based kernel can find it — that case is what the
+    odometry-consistency gate (``loops/detector.py::odom_consistency_gate``)
+    exists for, tested in test_loops.py."""
+    from randt_slam_tpu.graph import schur
+
+    rng = np.random.default_rng(7)
+    n = 400
+    g, gt = _outlier_loop_graph(rng, n=n)
+
+    def window_ate(poses):
+        # error over the loop-pinned window, expressed RELATIVE to its first
+        # node (the good loops define local truth there; global gauge drift
+        # from the unconstrained early arc is common to both solves)
+        w = slice(n - 130, n - 40)
+        p = np.asarray(poses)
+        rel_p = p[w, :2] - p[n - 130, :2]
+        rel_g = gt[w, :2] - gt[n - 130, :2]
+        return float(np.sqrt((np.linalg.norm(rel_p - rel_g, axis=1) ** 2)
+                             .mean()))
+
+    plain, _ = schur.optimize_auto(g, GlobalFuserConfig())
+    robust_cfg = GlobalFuserConfig(
+        use_robust_loss=True, loss_function_scale=1.0, robust_kernel="dcs",
+        robust_loop_edges_only=True, robust_two_stage=True)
+    robust, info = schur.optimize_auto(g, robust_cfg)
+    assert info["two_stage"]
+    # oracle: the same solve with the outlier edge simply removed
+    oracle, _ = schur.optimize_auto(
+        g._replace(valid=g.valid.at[-1].set(False)), GlobalFuserConfig())
+    p, r, o = window_ate(plain), window_ate(robust), window_ate(oracle)
+    assert r < 0.8 * p, (p, r, o)          # clearly better than quadratic
+    assert r < 1.15 * o + 0.05, (p, r, o)  # and ~at the outlier-free optimum
+
+
+def test_huber_all_edges_reference_parity_still_works():
+    """The reference-shaped knob (Huber, all edges, single stage) still
+    optimizes a clean graph to the same solution as the quadratic solve."""
+    rng = np.random.default_rng(3)
+    g, gt, _ = make_circle_graph(rng, n=40, drift=0.01, n_loops=3)
+    plain, _ = PG.optimize(g, GlobalFuserConfig())
+    hub, _ = PG.optimize(g, GlobalFuserConfig(
+        use_robust_loss=True, loss_function_scale=750.0))
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(hub), atol=1e-2)

@@ -117,3 +117,38 @@ def test_mahalanobis_loop_detection(loop_setup):
     assert loops.n_sc_candidates > 0, "no Mahalanobis association candidates"
     assert loops.n_accepted > 0, "no variant-B loop survived the CS gate"
     assert np.all(loops.edge_begin < loops.edge_end)
+
+
+def test_odom_consistency_gate():
+    """Replicates the 10-12-32 acceptance failure: one refined loop edge with
+    a 4.3 deg relative-yaw error over a ~900 m span (vs <=0.3 deg for every
+    genuine edge) slipped under the CS gate and bent the whole unconstrained
+    arc at PGO.  The odometry-consistency gate must reject exactly that edge
+    profile and keep drift-consistent ones."""
+    import numpy as np
+
+    from randt_slam_tpu.config import SlamConfig
+    from randt_slam_tpu.loops.detector import odom_consistency_gate
+
+    lcfg = SlamConfig().local_fuser
+    rel_odom = np.array([[20.0, 1.8, 3.07],     # the bad edge's span
+                         [20.0, 1.8, 3.07],
+                         [5.0, -2.0, 1.0]])
+    edge = rel_odom.copy()
+    edge[0, 2] += np.radians(4.27)              # wrong-basin refinement
+    edge[1, 2] += np.radians(0.9)               # plausible odometry drift
+    edge[2, :2] += [0.5, -0.3]                  # small translation slack
+    span = np.array([900.0, 900.0, 120.0])
+    ok = odom_consistency_gate(lcfg, edge, rel_odom, span)
+    assert list(ok) == [False, True, True]
+
+    # translation limb: gross offset beyond base + pct * span
+    edge2 = rel_odom.copy()
+    edge2[2, :2] += [8.0, 0.0]                  # 8 m over a 120 m span
+    ok2 = odom_consistency_gate(lcfg, edge2, rel_odom, span)
+    assert not ok2[2]
+
+    # disabled gate accepts everything
+    import dataclasses
+    off = dataclasses.replace(lcfg, loop_odom_gate=False)
+    assert odom_consistency_gate(off, edge, rel_odom, span).all()
