@@ -212,11 +212,18 @@ class LocalFuserConfig:
     # decisive axis (a wrong relative yaw between two far-apart anchors bends
     # the whole unconstrained arc between them at PGO).  Limits grow linearly
     # with traversed distance between the edge endpoints.
+    # Envelope calibration (10-12-32 full-length acceptance run, 473 edges):
+    # genuine edges' yaw discrepancy vs the odometry chain tracks odometry
+    # yaw drift — up to 2.43 deg at a 9.0 km traversed span (~0.027 deg/100m)
+    # — while the one wrong-basin edge sat at 4.29 deg over 2.8 km.  The
+    # rejection asymmetry is steep (one bad edge bends the whole graph; a
+    # rejected good edge is redundant among hundreds), so the envelope hugs
+    # the measured drift with ~1.7x margin rather than generous slack.
     loop_odom_gate: bool = True
     loop_odom_gate_rot_base_deg: float = 1.5
-    loop_odom_gate_rot_deg_per_100m: float = 0.2
+    loop_odom_gate_rot_deg_per_100m: float = 0.03
     loop_odom_gate_trans_base_m: float = 3.0
-    loop_odom_gate_trans_pct: float = 2.0   # % of traversed span
+    loop_odom_gate_trans_pct: float = 0.5   # % of traversed span
     max_data_association_mahalanobis_dist: float = 0.5
     loop_sqrt_information: tuple = ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 0.1))
     # Odometry edge sqrt-information, fixed in the reference
