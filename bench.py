@@ -23,6 +23,7 @@ Baseline: the reference (CPU C++/Ceres) publishes no FPS numbers in-repo
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -263,6 +264,23 @@ def main():
 
     e2e = bench_e2e(cfg)
 
+    # MFU/roofline of the hot kernels (SPEED.md; measured fresh each run so
+    # the numbers can't silently age) — best-effort: a cost-model API change
+    # must not take down the whole bench.
+    mfu = {}
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "scripts"))
+        import mfu as MFU
+        for row in MFU.main(quiet=True, include_schur=False):
+            key = row["kernel"].split(" ")[0]
+            mfu[f"mfu_{key}"] = {
+                k: v for k, v in row.items()
+                if k in ("device_time_ms", "mfu_vs_f32_peak",
+                         "hbm_utilization", "limiter")}
+    except Exception as e:  # pragma: no cover
+        mfu = {"mfu_error": repr(e)}
+
     print(json.dumps({
         "metric": "radar_frames_per_second_1chip",
         "value": round(fps, 2),
@@ -277,6 +295,7 @@ def main():
             "pose_graph_solver": pgo_solver,
             "pose_graph_schur_iter_ms_4077_nodes": round(schur_iter_ms, 2),
             **batch_curve,
+            **mfu,
         },
     }))
 

@@ -79,7 +79,7 @@ def timeit(fn, *args, n=30):
     return (time.perf_counter() - t0) / n
 
 
-def main():
+def main(quiet=False, include_schur=True):
     import jax
     import jax.numpy as jnp
 
@@ -106,7 +106,7 @@ def main():
     for i in range(12):
         fr = jax.tree.map(lambda a: jnp.asarray(a[i]), frames)
         carry, _ = step(carry, fr)
-    jax.block_until_ready(carry.state)
+    jax.block_until_ready(carry.states)
     frN = jax.tree.map(lambda a: jnp.asarray(a[12]), frames)
     dt = timeit(lambda c: step(c, frN)[0], carry, n=30)
     results.append(report(
@@ -118,7 +118,8 @@ def main():
     ))
 
     # ---- 2. segment-moments Pallas kernel at front-end shapes -------------
-    from randt_slam_tpu.ops import segment_moments as SM
+    import importlib
+    SM = importlib.import_module("randt_slam_tpu.ops.segment_moments")
 
     P = N_AZ * int(MAX_RANGE / BIN_W) // 8  # points kept by the peak filter
     P = 1 << int(np.ceil(np.log2(P)))
@@ -138,6 +139,10 @@ def main():
     ))
 
     # ---- 3. Schur-reduction iteration at the real sequence size -----------
+    if not include_schur:       # bench.py already measures this itself
+        if not quiet:
+            print(json.dumps({"mfu": results}, indent=2))
+        return results
     from bench import bench_pgo_ms
     _, _, solver, it_ms = bench_pgo_ms()
     # cost model of the iteration kernel: reuse the jitted iteration from the
@@ -150,7 +155,8 @@ def main():
                 "separator solve + per-submap block solves — see SPEED.md",
     })
 
-    print(json.dumps({"mfu": results}, indent=2))
+    if not quiet:
+        print(json.dumps({"mfu": results}, indent=2))
     return results
 
 

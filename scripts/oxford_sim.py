@@ -219,6 +219,20 @@ def main(argv=None):
                  cs=res.loops.cs_divergences,
                  node_pose_odom=np.asarray(odo.node_pose),
                  node_traversed=np.asarray(odo.node_traversed))
+        # Full pose-graph dump for offline PGO experiments (solver/kernel
+        # sweeps without replaying the 10-minute pipeline).
+        np.savez(os.path.join(args.output, "graph.npz"),
+                 odo_begin=odo.edge_begin, odo_end=odo.edge_end,
+                 odo_trans=odo.edge_trans,
+                 odo_sqrt_info=odo.edge_sqrt_information,
+                 loop_begin=lb, loop_end=le,
+                 loop_trans=res.loops.edge_trans,
+                 loop_sqrt_info=res.loops.edge_sqrt_information,
+                 node_pose_odom=np.asarray(odo.node_pose),
+                 node_submap=np.asarray(odo.node_submap),
+                 node_is_root=np.asarray(odo.node_is_root),
+                 node_frame=np.asarray(odo.node_frame),
+                 node_pose_opt=node_pose, rel_gt=rel_gt)
         loop_diag = {
             "loop_err_t_median_m": round(float(np.median(err_t)), 3),
             "loop_err_t_max_m": round(float(err_t.max()), 2),
