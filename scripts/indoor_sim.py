@@ -118,7 +118,8 @@ def main(argv=None):
         rng, trajectory=gt, n_walls=int(40 + args.frames / 10),
         corridor=9.0, n_clutter=args.frames // 5, min_refl=40.0,
         max_refl=120.0, wall_point_spacing=0.15)
-    print(f"route {np.linalg.norm(np.diff(gt[:, :2], 0), axis=1).sum():.0f} m,"
+    print(f"route "
+          f"{np.linalg.norm(np.diff(gt[:, :2], axis=0), axis=1).sum():.0f} m,"
           f" {len(landmarks)} scatterers")
 
     azimuths = (np.arange(N_AZIMUTHS) / N_AZIMUTHS * 2 * np.pi - np.pi
