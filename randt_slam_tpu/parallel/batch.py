@@ -33,7 +33,10 @@ def make_batched_scan(cfg: SlamConfig, sensor_to_base, mesh=None):
     """
 
     def step(carry, frame):
-        return F.frontend_step(cfg, carry, frame, sensor_to_base)
+        # descriptors off: fleet-throughput batches don't run the loop pass
+        # per step, and stacking (B, T, ring, sector) wastes HBM
+        return F.frontend_step(cfg, carry, frame, sensor_to_base,
+                               with_descriptor=False)
 
     vstep = jax.vmap(step)
 

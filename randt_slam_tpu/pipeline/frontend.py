@@ -84,6 +84,16 @@ class FrontendCarry(NamedTuple):
     submap: G.SparseGrid     # current submap
     prev_submap: G.SparseGrid  # previous submap in current frame
     has_prev: jax.Array      # () bool
+    # cached derived fields (mean/cov/valid) of both submap tables.  The
+    # submap only changes at keyframe exit / submap switch, so the ~8k-cell
+    # eigendecompositions are recomputed there instead of every frame
+    # (the reference derives lazily per-cell inside the ring search).
+    submap_fmean: jax.Array   # (S, 3)
+    submap_fcov: jax.Array    # (S, 3, 3)
+    submap_fvalid: jax.Array  # (S,)
+    prev_fmean: jax.Array     # (S, 3)
+    prev_fcov: jax.Array      # (S, 3, 3)
+    prev_fvalid: jax.Array    # (S,)
     submap_origin: jax.Array  # (3,) global pose of current submap origin
     n_finished: jax.Array    # () int32
     # pose bookkeeping
@@ -136,6 +146,18 @@ class FrameOutput(NamedTuple):
     scan_saturated: jax.Array | bool = False   # scan cell budget full
     submap_saturated: jax.Array | bool = False  # submap table full
     store_saturated: jax.Array | bool = False   # submap store full
+    # ScanContext descriptor of this frame's filtered scan (sensor frame),
+    # emitted so the loop pass reuses it instead of re-running the whole
+    # preprocessor per keyframe (VERDICT r3 item 2).  None when the driver
+    # does not request it.
+    sc_desc: jax.Array | None = None
+    # Online-path extras (``with_scan_cells=True``): the scan's derived NDT
+    # fields and max-intensity beams, so ``OnlineSlam`` never re-runs the
+    # preprocessor for keyframe bookkeeping.  Offline drivers leave these
+    # off — stacking them over a scanned chunk would waste HBM/host traffic.
+    scan_cells: tuple | None = None        # (mean (C,3), cov (C,3,3), valid)
+    beams: jax.Array | None = None         # (A, 3) angle/range/intensity
+    beam_mask: jax.Array | None = None     # (A,)
 
 
 # ---------------------------------------------------------------------------
@@ -168,6 +190,12 @@ def init_carry(cfg: SlamConfig, initial_pose=None, dtype=jnp.float32) -> Fronten
         submap=G.empty_sparse(geom, cap.max_submap_cells, dtype),
         prev_submap=G.empty_sparse(geom, cap.max_submap_cells, dtype),
         has_prev=jnp.bool_(False),
+        submap_fmean=jnp.zeros((cap.max_submap_cells, 3), dtype),
+        submap_fcov=jnp.zeros((cap.max_submap_cells, 3, 3), dtype),
+        submap_fvalid=jnp.zeros((cap.max_submap_cells,), bool),
+        prev_fmean=jnp.zeros((cap.max_submap_cells, 3), dtype),
+        prev_fcov=jnp.zeros((cap.max_submap_cells, 3, 3), dtype),
+        prev_fvalid=jnp.zeros((cap.max_submap_cells,), bool),
         submap_origin=initial_pose.astype(dtype),
         n_finished=jnp.int32(0),
         cur_pose=jnp.zeros(3, dtype),
@@ -255,10 +283,21 @@ def flush_submap(cfg: SlamConfig, c: FrontendCarry) -> FrontendCarry:
 
 
 def frontend_step(cfg: SlamConfig, carry: FrontendCarry, frame: Frame,
-                  sensor_to_base) -> tuple:
+                  sensor_to_base, with_descriptor: bool = True,
+                  with_scan_cells: bool = False) -> tuple:
     """One radar frame through the front end, including the submap-completion
     re-processing of the same frame (``ndt_slam.cpp:219-223``)."""
     scan, _filt = build_scan_cells(cfg, frame, sensor_to_base)
+    desc = None
+    if with_descriptor:
+        # ScanContext from the sensor-frame filtered returns — what the
+        # reference feeds ``makeAndSaveScancontextAndKeys`` from the
+        # preprocessor debug cloud (``local_fuser.h:139-141``).
+        from ..loops import scancontext as SC
+
+        desc = SC.make_descriptor(
+            _filt.polar, _filt.points[:, 2], _filt.mask, cfg.scan_context
+        )
     carry1, out1 = _process_scan(cfg, carry, frame, scan)
 
     complete = carry1.traj_len >= cfg.local_fuser.submap_size_poses
@@ -298,7 +337,14 @@ def frontend_step(cfg: SlamConfig, carry: FrontendCarry, frame: Frame,
         scan_saturated=scan_sat,
         submap_saturated=carry2.submap.count >= cap.max_submap_cells,
         store_saturated=carry2.n_finished >= cap.max_submaps,
+        sc_desc=desc,
     )
+    if with_scan_cells:
+        out = out._replace(
+            scan_cells=(scan.mean, scan.cov, scan.valid),
+            beams=_filt.beams,
+            beam_mask=_filt.beam_mask,
+        )
     return carry2, out
 
 
@@ -310,6 +356,8 @@ def _start_new_submap(cfg: SlamConfig, c: FrontendCarry) -> FrontendCarry:
     # Previous submap expressed in the NEW submap frame (inverse transform +
     # grid re-keying — fix over ``local_fuser.cpp:45-46``).
     prev = G.transform_sparse(geom, c.submap, inverse(switch_pose))
+    pf = G.derive_sparse_fields(prev, cfg.ndt_map.min_points_per_cell,
+                                cfg.ndt_map.cell)
     # Persist the finished submap (replaces ``submaps_`` in
     # ``local_fuser.h:174``; consumed by the batched loop-closure pass) —
     # the sparse table is already compact.
@@ -339,6 +387,12 @@ def _start_new_submap(cfg: SlamConfig, c: FrontendCarry) -> FrontendCarry:
         submap=G.empty_sparse(geom, cfg.capacity.max_submap_cells, c.states.dtype),
         prev_submap=prev,
         has_prev=jnp.bool_(True),
+        submap_fmean=jnp.zeros_like(c.submap_fmean),
+        submap_fcov=jnp.zeros_like(c.submap_fcov),
+        submap_fvalid=jnp.zeros_like(c.submap_fvalid),
+        prev_fmean=pf[0],
+        prev_fcov=pf[1],
+        prev_fvalid=pf[2],
         submap_origin=new_origin,
         n_finished=c.n_finished + 1,
         cur_pose=jnp.zeros(3, c.states.dtype),
@@ -390,6 +444,8 @@ def _first_scan(cfg: SlamConfig, c: FrontendCarry, frame: Frame,
     )
     moved = CellStats(moved.n[0], moved.s[0], moved.ss[0])
     submap = G.scatter_sparse(geom, c.submap, moved, scan.valid)
+    sf = G.derive_sparse_fields(submap, cfg.ndt_map.min_points_per_cell,
+                                cfg.ndt_map.cell)
 
     # Root node + edge from the previous node (if any).
     node_pose = c.submap_origin
@@ -439,6 +495,9 @@ def _first_scan(cfg: SlamConfig, c: FrontendCarry, frame: Frame,
         imu_meas=imu_meas,
         traj_len=jnp.int32(1),
         submap=submap,
+        submap_fmean=sf[0],
+        submap_fcov=sf[1],
+        submap_fvalid=sf[2],
         node_count=c.node_count + 1,
         last_node_pose=node_pose,
         last_node_dist=traversed,
@@ -487,16 +546,13 @@ def _regular_scan(cfg: SlamConfig, c: FrontendCarry, frame: Frame,
     slot_has_scan = (jnp.arange(W) >= (W - n_scans))
     scan_valid = scan_valid & slot_has_scan[:, None]
 
-    # --- fixed maps -----------------------------------------------------------
-    cell_cfg = cfg.ndt_map.cell
-    f1 = G.derive_sparse_fields(c.submap, cfg.ndt_map.min_points_per_cell, cell_cfg)
-    f2 = G.derive_sparse_fields(c.prev_submap, cfg.ndt_map.min_points_per_cell, cell_cfg)
+    # --- fixed maps (cached derived fields, see FrontendCarry) ---------------
     use_prev = c.has_prev & (traj_len < lcfg.submap_overlap)
     fixed = matcher.FixedMaps(
         index=(c.submap.index, c.prev_submap.index),
-        mean=jnp.stack([f1[0], f2[0]]),
-        cov=jnp.stack([f1[1], f2[1]]),
-        valid=jnp.stack([f1[2], f2[2]]),
+        mean=jnp.stack([c.submap_fmean, c.prev_fmean]),
+        cov=jnp.stack([c.submap_fcov, c.prev_fcov]),
+        valid=jnp.stack([c.submap_fvalid, c.prev_fvalid]),
         use=jnp.stack([jnp.bool_(True), use_prev]),
     )
 
@@ -550,7 +606,7 @@ def _regular_scan(cfg: SlamConfig, c: FrontendCarry, frame: Frame,
     smoothed_pose = smoothed[:3]
 
     def exit_kf(args):
-        submap, kq_stats, kq_frame, kq_stamp, kq_len = args
+        submap, _sf, kq_stats, kq_frame, kq_stamp, kq_len = args
         front = CellStats(n=kq_stats.n[0], s=kq_stats.s[0], ss=kq_stats.ss[0])
         front_valid = C.valid_mask(front, cfg.ndt_map.min_points_per_cell)
         moved = C.transform(
@@ -559,6 +615,8 @@ def _regular_scan(cfg: SlamConfig, c: FrontendCarry, frame: Frame,
         )
         moved = CellStats(moved.n[0], moved.s[0], moved.ss[0])
         submap = G.scatter_sparse(geom, submap, moved, front_valid)
+        sf = G.derive_sparse_fields(submap, cfg.ndt_map.min_points_per_cell,
+                                    cfg.ndt_map.cell)
         # pop front
         kq_stats = CellStats(
             n=jnp.concatenate([kq_stats.n[1:], jnp.zeros_like(kq_stats.n[:1])]),
@@ -567,15 +625,16 @@ def _regular_scan(cfg: SlamConfig, c: FrontendCarry, frame: Frame,
         )
         kq_frame2 = jnp.concatenate([kq_frame[1:], jnp.zeros_like(kq_frame[:1])])
         kq_stamp2 = jnp.concatenate([kq_stamp[1:], jnp.zeros_like(kq_stamp[:1])])
-        return submap, kq_stats, kq_frame2, kq_stamp2, kq_len - 1
+        return submap, sf, kq_stats, kq_frame2, kq_stamp2, kq_len - 1
 
     front_frame = kq_frame[0]
     front_stamp = kq_stamp[0]
-    submap, kq_stats, kq_frame, kq_stamp, kq_len = jax.lax.cond(
+    submap, sfields, kq_stats, kq_frame, kq_stamp, kq_len = jax.lax.cond(
         do_exit,
         exit_kf,
         lambda a: a,
-        (c.submap, kq_stats, kq_frame, kq_stamp, kq_len),
+        (c.submap, (c.submap_fmean, c.submap_fcov, c.submap_fvalid),
+         kq_stats, kq_frame, kq_stamp, kq_len),
     )
 
     node_pose = compose(c.submap_origin, smoothed_pose)
@@ -628,6 +687,9 @@ def _regular_scan(cfg: SlamConfig, c: FrontendCarry, frame: Frame,
         kq_stamp=kq_stamp,
         kq_len=kq_len,
         submap=submap,
+        submap_fmean=sfields[0],
+        submap_fcov=sfields[1],
+        submap_fvalid=sfields[2],
         cur_pose=cur_pose,
         node_count=c.node_count + jnp.where(do_exit, 1, 0),
         last_node_pose=jnp.where(do_exit, node_pose, c.last_node_pose),

@@ -46,7 +46,8 @@ class OnlineSlam:
         self.loop_every = loop_every
         self.pgo_every = pgo_every
         self._step = jax.jit(partial(F.frontend_step, cfg,
-                                     sensor_to_base=self.s2b))
+                                     sensor_to_base=self.s2b,
+                                     with_scan_cells=True))
         self._features = jax.jit(self._node_features)
         self._refine = jax.jit(partial(self._refine_and_gate, cfg))
         # Padded ScanContext database: fixed (max_nodes, ...) shapes so the
@@ -79,6 +80,10 @@ class OnlineSlam:
         self._pending_loop_queries: list[int] = []
         self._node_cells: dict[int, tuple] = {}
         self._recent_frames: dict[int, object] = {}
+        # per-frame features harvested from each step's FrameOutput — the
+        # keyframe exit (``insertion_delay`` frames later) reuses these
+        # instead of re-running the preprocessor (VERDICT r3 item 2)
+        self._recent_feats: dict[int, tuple] = {}
         self.odom_trace: list[np.ndarray] = []
         # per-submap OGM counting grids (online raytrace cadence)
         self._count_grids: dict[int, np.ndarray] = {}
@@ -124,13 +129,20 @@ class OnlineSlam:
             # real bug — fail loudly instead of silently corrupting the loop
             # database with the wrong frame's descriptor.
             src = int(nodes.frame_idx[k])
-            if src not in self._recent_frames:
+            feats = self._recent_feats.get(src)
+            if feats is not None:
+                desc, cells, beams, beam_mask = feats
+            elif src in self._recent_frames:
+                # resume fallback: frames restored from a checkpoint predate
+                # the per-frame feature harvest — recompute once
+                fr = self._recent_frames[src]
+                scan, desc, beams, beam_mask = self._features(fr)
+                cells = (scan.mean, scan.cov, scan.valid)
+            else:
                 raise RuntimeError(
                     f"keyframe node {nid}'s source frame {src} aged out of "
                     f"the {len(self._recent_frames)}-frame history buffer "
                     f"(current frame {int(frame.index)}); horizon sizing bug")
-            fr = self._recent_frames[src]
-            scan, desc, beams, beam_mask = self._features(fr)
             self.sc_desc.append(np.asarray(desc))
             self.sc_keys.append(np.asarray(SC.ring_key(desc)))
             if nid < self._sc_desc.shape[0]:
@@ -141,7 +153,7 @@ class OnlineSlam:
                     jnp.asarray(nodes.pose[k][:2]))
                 self._sc_trav = self._sc_trav.at[nid].set(
                     float(nodes.traversed[k]))
-            self._node_cells[nid] = (scan.mean, scan.cov, scan.valid)
+            self._node_cells[nid] = cells
             if not bool(nodes.is_root[k]):
                 self._pending_loop_queries.append(nid)
             # Online raytracing cadence: the reference enqueues the node's
@@ -235,7 +247,12 @@ class OnlineSlam:
         for k in list(self._recent_frames):
             if k < int(frame.index) - horizon:
                 del self._recent_frames[k]
+        for k in list(self._recent_feats):
+            if k < int(frame.index) - horizon:
+                del self._recent_feats[k]
         self.carry, out = self._step(self.carry, frame)
+        self._recent_feats[int(frame.index)] = (
+            out.sc_desc, out.scan_cells, out.beams, out.beam_mask)
         self._record_outputs(frame, out)
         self.odom_trace.append(np.asarray(out.odom_pose))
         self._frame_count += 1

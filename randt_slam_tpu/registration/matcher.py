@@ -297,6 +297,7 @@ def estimate_window(
         mcfg.lm_max_iterations,
         mcfg.lm_tolerance,
         linearize_fn=linearize_fn if use_structured_linearizer else None,
+        lm_ftol=mcfg.lm_function_tolerance,
     )
     new_states = res.params.reshape(W + 1, 9)
 
@@ -513,6 +514,7 @@ def estimate_loop(
         mcfg.gnc_control_parameter_divisor,
         mcfg.lm_max_iterations,
         mcfg.lm_tolerance,
+        lm_ftol=mcfg.lm_function_tolerance,
     )
     n = jnp.maximum(res.n_ndt_valid, 1)
     return LoopEstimate(pose=res.params, mean_cost=res.cost / n, n_pairs=res.n_ndt_valid)

@@ -57,6 +57,7 @@ def lm_solve(
     max_iters: int,
     tol: float,
     linearize_fn: Callable | None = None,
+    ftol: float = 1e-6,
 ):
     """Damped Gauss-Newton (LM) at a fixed GNC mu.
 
@@ -126,7 +127,14 @@ def lm_solve(
             jnp.where(accept, lam / 3.0, lam * 4.0), 1e-10, 1e8
         )
         small = jnp.linalg.norm(delta) < tol
-        done_next = (accept & small) | ((~accept) & (lam >= 1e7))
+        # Ceres-style function tolerance (Solver::Options::function_tolerance,
+        # default 1e-6, which the reference leaves untouched in
+        # ``ndt_matcher.cpp:371-381``): an accepted step that improves the
+        # cost by less than ftol * cost has converged.  Without this the loop
+        # always runs to max_iters — the parameter tolerance alone (1e-7)
+        # essentially never fires in float32.
+        flat = (c_old - c_new) <= ftol * c_old
+        done_next = (accept & (small | flat)) | ((~accept) & (lam >= 1e7))
         return p_next, lam_next, c_next, it + 1, done_next
 
     def cond(carry):
@@ -156,6 +164,7 @@ def gnc_solve(
     lm_max_iters: int,
     lm_tol: float,
     linearize_fn: Callable | None = None,
+    lm_ftol: float = 1e-6,
 ) -> SolveResult:
     """Graduated non-convexity: LM solves over the decreasing-mu schedule
     (do-while, ``ndt_matcher.cpp:390-397``)."""
@@ -174,7 +183,7 @@ def gnc_solve(
         p_new, _ = lm_solve(
             residual_fn, p, active_mask, angle_mask, ndt_valid, aux_valid,
             ndt_scale, scale, alpha, mu_eff, lm_max_iters, lm_tol,
-            linearize_fn=linearize_fn,
+            linearize_fn=linearize_fn, ftol=lm_ftol,
         )
         return p_new, mu / divisor, rounds + 1
 

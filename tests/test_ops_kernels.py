@@ -51,7 +51,7 @@ def test_structured_linearizer_matches_dense(monkeypatch):
 
     def spy(residual_fn, params0, active_mask, angle_mask, ndt_valid,
             aux_valid, ndt_scale, scale, alpha, gnc_steps, divisor,
-            lm_max_iters, lm_tol, linearize_fn=None):
+            lm_max_iters, lm_tol, linearize_fn=None, **kw):
         if linearize_fn is not None:
             active_f = active_mask.astype(params0.dtype)
             n_ndt = ndt_valid.shape[0]
