@@ -63,14 +63,18 @@ def build_frames(start=0, n_frames=T, host=False):
     az = (np.arange(N_AZ) / N_AZ * 2 * np.pi - np.pi).astype(np.float32)
     n_bins = int(MAX_RANGE / BIN_W)
     ranges = ((np.arange(n_bins) + 0.5) * BIN_W).astype(np.float32)
-    dt = np.float16 if host else np.float32
-    scans = np.stack([
+    # uint8 transport for host-resident sequences: the real Navtech sensor
+    # quantizes return power to uint8, and the host->device upload bounds
+    # offline replay throughput (same choice as scripts/oxford_sim.py)
+    raw = np.stack([
         S.render_scan_fast(
             p, landmarks[(np.abs(landmarks[:, 0] - p[0]) < MAX_RANGE + 5)
                          & (np.abs(landmarks[:, 1] - p[1]) < MAX_RANGE + 5)],
             az, ranges, rng)
         for p in gt
-    ]).astype(dt)
+    ])
+    scans = (np.clip(raw, 0.0, 255.0).astype(np.uint8) if host
+             else raw.astype(np.float32))
     stamps = (np.arange(len(gt)) * 0.25).astype(np.float32)
     frames = slam.frames_from_arrays(scans, az, ranges, stamps, host=host)
     return frames, gt

@@ -36,6 +36,16 @@ import numpy as np
 
 _MAGIC = b"#ROSBAG V2.0\n"
 
+
+class BagFormatError(ValueError):
+    """Malformed / truncated rosbag input.
+
+    The CLI surfaces this as a one-line error instead of a traceback
+    (the reference consumer simply trusts ``rosbag::View``,
+    ``ndt_slam.cpp:94-130``; first contact with real-world bags deserves
+    better diagnostics)."""
+
+
 OP_MSG = 0x02
 OP_BAG = 0x03
 OP_INDEX = 0x04
@@ -55,12 +65,20 @@ def _parse_fields(buf: bytes) -> dict:
     fields = {}
     off = 0
     while off < len(buf):
+        if off + 4 > len(buf):
+            raise BagFormatError("truncated field-set (length prefix cut)")
         (n,) = struct.unpack_from("<I", buf, off)
         off += 4
+        if off + n > len(buf):
+            raise BagFormatError(
+                f"truncated field-set (field of {n} bytes past end)")
         item = buf[off:off + n]
         off += n
-        eq = item.index(b"=")
-        fields[item[:eq].decode()] = item[eq + 1:]
+        eq = item.find(b"=")
+        if eq < 0:
+            raise BagFormatError(
+                f"malformed header field (no '='): {item[:40]!r}")
+        fields[item[:eq].decode(errors="replace")] = item[eq + 1:]
     return fields
 
 
@@ -77,14 +95,26 @@ def _encode_fields(fields: dict) -> bytes:
 def _iter_records(buf: bytes, off: int = 0) -> Iterator[tuple[dict, bytes]]:
     end = len(buf)
     while off < end:
+        if off + 4 > end:
+            raise BagFormatError("truncated record (header length cut)")
         (hlen,) = struct.unpack_from("<I", buf, off)
         off += 4
+        if off + hlen > end:
+            raise BagFormatError(
+                f"truncated record (header of {hlen} bytes past end)")
         header = _parse_fields(buf[off:off + hlen])
         off += hlen
+        if off + 4 > end:
+            raise BagFormatError("truncated record (data length cut)")
         (dlen,) = struct.unpack_from("<I", buf, off)
         off += 4
+        if off + dlen > end:
+            raise BagFormatError(
+                f"truncated record (data of {dlen} bytes past end)")
         data = buf[off:off + dlen]
         off += dlen
+        if "op" not in header or len(header["op"]) != 1:
+            raise BagFormatError("record without a valid 'op' header field")
         yield header, data
 
 
@@ -98,23 +128,37 @@ class BagMessage(NamedTuple):
 def read_messages(path: str) -> Iterator[BagMessage]:
     """Linear scan of a rosbag v2.0 file — no index needed (the reference's
     offline mode also walks the bag front to back, ``ndt_slam.cpp:101-130``).
+
+    Raises :class:`BagFormatError` on truncated / malformed input instead of
+    leaking ``struct.error`` / ``KeyError`` to the caller.
     """
     with open(path, "rb") as f:
         blob = f.read()
     if not blob.startswith(_MAGIC):
-        raise ValueError(f"{path}: not a rosbag v2.0 file")
+        raise BagFormatError(f"{path}: not a rosbag v2.0 file")
     connections: dict[int, tuple[str, str]] = {}
+
+    def _u32(header, key):
+        v = header.get(key)
+        if v is None or len(v) != 4:
+            raise BagFormatError(f"record missing/short '{key}' field")
+        return struct.unpack("<I", v)[0]
 
     def handle(header: dict, data: bytes):
         op = header["op"][0]
         if op == OP_CONNECTION:
-            conn = struct.unpack("<I", header["conn"])[0]
+            conn = _u32(header, "conn")
             info = _parse_fields(data)
-            connections[conn] = (header["topic"].decode(),
-                                 info["type"].decode())
+            if "topic" not in header or "type" not in info:
+                raise BagFormatError("connection record missing topic/type")
+            connections[conn] = (header["topic"].decode(errors="replace"),
+                                 info["type"].decode(errors="replace"))
         elif op == OP_MSG:
-            conn = struct.unpack("<I", header["conn"])[0]
-            secs, nsecs = struct.unpack("<II", header["time"])
+            conn = _u32(header, "conn")
+            t = header.get("time")
+            if t is None or len(t) != 8:
+                raise BagFormatError("message record missing/short 'time'")
+            secs, nsecs = struct.unpack("<II", t)
             topic, mtype = connections.get(conn, ("?", "?"))
             return BagMessage(topic, mtype, secs + 1e-9 * nsecs, data)
         return None
@@ -126,7 +170,11 @@ def read_messages(path: str) -> Iterator[BagMessage]:
             if comp == "none":
                 payload = data
             elif comp == "bz2":
-                payload = bz2.decompress(data)
+                try:
+                    payload = bz2.decompress(data)
+                except OSError as e:
+                    raise BagFormatError(
+                        f"corrupt bz2 chunk: {e}") from e
             else:
                 raise NotImplementedError(
                     f"chunk compression '{comp}' (only none/bz2 here; "
@@ -162,10 +210,17 @@ class ImuSample(NamedTuple):
     yaw: float               # extracted z-rotation [rad]
 
 
+def _need(raw: bytes, off: int, n: int, what: str):
+    if off + n > len(raw):
+        raise BagFormatError(f"truncated message ({what} past end)")
+
+
 def _read_header(buf: bytes, off: int) -> tuple[float, str, int]:
+    _need(buf, off, 16, "std_msgs/Header")
     _, secs, nsecs, n = struct.unpack_from("<IIII", buf, off)
     off += 16
-    frame_id = buf[off:off + n].decode()
+    _need(buf, off, n, "frame_id string")
+    frame_id = buf[off:off + n].decode(errors="replace")
     off += n
     return secs + 1e-9 * nsecs, frame_id, off
 
@@ -173,35 +228,66 @@ def _read_header(buf: bytes, off: int) -> tuple[float, str, int]:
 def parse_pointcloud2(raw: bytes) -> PointCloud2:
     """Deserialize ``sensor_msgs/PointCloud2``; extracts x, y, intensity
     (the fields the reference's preprocessor consumes,
-    ``radar_preprocessor.cpp:45-125``)."""
+    ``radar_preprocessor.cpp:45-125``).  Handles row-padded layouts
+    (``row_step > point_step * width``) and big-endian fields; raises
+    :class:`BagFormatError` on truncation / unknown dtypes / missing x-y."""
     stamp, frame_id, off = _read_header(raw, 0)
+    _need(raw, off, 12, "PointCloud2 dims")
     height, width, n_fields = struct.unpack_from("<III", raw, off)
     off += 12
+    if n_fields > 256:
+        raise BagFormatError(f"implausible PointCloud2 field count "
+                             f"{n_fields}")
     fields = []
     for _ in range(n_fields):
+        _need(raw, off, 4, "PointField name length")
         (n,) = struct.unpack_from("<I", raw, off)
         off += 4
-        name = raw[off:off + n].decode()
+        _need(raw, off, n + 9, "PointField")
+        name = raw[off:off + n].decode(errors="replace")
         off += n
         f_off, dtype, count = struct.unpack_from("<IBI", raw, off)
         off += 9
         fields.append((name, f_off, dtype, count))
+    _need(raw, off, 9 + 4, "PointCloud2 layout")
     is_bigendian, point_step, row_step = struct.unpack_from("<BII", raw, off)
     off += 9
     (dlen,) = struct.unpack_from("<I", raw, off)
     off += 4
+    _need(raw, off, dlen, "PointCloud2 data blob")
+    if point_step == 0:
+        raise BagFormatError("PointCloud2 with point_step=0")
     data = np.frombuffer(raw, np.uint8, dlen, off)
     n_pts = height * width
     if row_step != point_step * width:  # row padding: gather dense rows
+        if row_step < point_step * width or dlen < row_step * height:
+            raise BagFormatError(
+                f"PointCloud2 row layout inconsistent (row_step {row_step}, "
+                f"point_step {point_step}, width {width}, data {dlen})")
         data = np.concatenate([
             data[r * row_step: r * row_step + point_step * width]
             for r in range(height)])
+    if len(data) < n_pts * point_step:
+        raise BagFormatError(
+            f"PointCloud2 data short: {len(data)} bytes for "
+            f"{n_pts} x {point_step}")
     recs = data[:n_pts * point_step].reshape(n_pts, point_step)
     by_name = {f[0]: f for f in fields}
+    for req in ("x", "y"):
+        if req not in by_name:
+            raise BagFormatError(
+                f"PointCloud2 missing required field '{req}' "
+                f"(has {sorted(by_name)})")
 
     def col(name):
         _, f_off, dtype, _ = by_name[name]
+        if dtype not in _PC2_DTYPES:
+            raise BagFormatError(
+                f"PointCloud2 field '{name}' has unknown dtype {dtype}")
         dt = np.dtype(_PC2_DTYPES[dtype])
+        if f_off + dt.itemsize > point_step:
+            raise BagFormatError(
+                f"PointCloud2 field '{name}' overruns point_step")
         if is_bigendian:
             dt = dt.newbyteorder(">")
         raw_col = np.ascontiguousarray(recs[:, f_off:f_off + dt.itemsize])
@@ -220,6 +306,7 @@ def parse_imu(raw: bytes) -> ImuSample:
     orientation quaternion (relative yaw between frames,
     ``local_fuser.cpp:110-120``)."""
     stamp, _, off = _read_header(raw, 0)
+    _need(raw, off, 32, "Imu quaternion")
     q = np.frombuffer(raw, np.float64, 4, off)  # x, y, z, w
     x, y, z, w = q
     yaw = np.arctan2(2.0 * (w * z + x * y), 1.0 - 2.0 * (y * y + z * z))
@@ -393,11 +480,19 @@ def main(argv=None):
     ap.add_argument("--max-range", type=float, default=None)
     ap.add_argument("--frames", type=int, default=None)
     args = ap.parse_args(argv)
-    info = convert_bag(args.bag, args.out_npz,
-                       radar_topic=args.radar_topic,
-                       imu_topic=args.imu_topic,
-                       n_azimuths=args.azimuths, n_bins=args.bins,
-                       max_range=args.max_range, max_frames=args.frames)
+    try:
+        info = convert_bag(args.bag, args.out_npz,
+                           radar_topic=args.radar_topic,
+                           imu_topic=args.imu_topic,
+                           n_azimuths=args.azimuths, n_bins=args.bins,
+                           max_range=args.max_range, max_frames=args.frames)
+    except (BagFormatError, NotImplementedError, FileNotFoundError,
+            ValueError) as e:
+        # malformed input is a user error, not a crash: one line, exit 2
+        import sys as _sys
+
+        print(f"error: {e}", file=_sys.stderr)
+        raise SystemExit(2)
     print(json.dumps(info))
 
 

@@ -321,7 +321,15 @@ class OnlineSlam:
                 self.n_loop_edges += 1
         self._pending_loop_queries.clear()
 
-    def optimize_pose_graph(self):
+    def finalize(self):
+        """Bag-end semantics (``ndt_slam.cpp:176-178``): drain the pending
+        loop queue, then one final PGO over EVERY edge (max_update_index =
+        last node, matching ``std::prev(nodes_.end())->first``) + submap
+        re-anchoring."""
+        self.detect_loops()
+        self.optimize_pose_graph(final=True)
+
+    def optimize_pose_graph(self, final: bool = False):
         """``NDTSlam::optimizePoseGraph`` + ``LocalFuser::updateSubmaps``."""
         cfg = self.cfg
         N = len(self.node_pose)
@@ -332,7 +340,10 @@ class OnlineSlam:
             (lf.submap_size_poses - (cfg.matcher.smoothing_steps - 1))
             / lf.insertion_step
         ))
-        max_update = (N - 1) // n_per * n_per  # ``ndt_slam.cpp:354-355``
+        if final:
+            max_update = N - 1
+        else:
+            max_update = (N - 1) // n_per * n_per  # ``ndt_slam.cpp:354-355``
         E = len(self.edges)
         g = PG.PoseGraph(
             poses=jnp.asarray(np.stack(self.node_pose), jnp.float32),

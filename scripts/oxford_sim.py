@@ -106,6 +106,51 @@ def build_world_and_scans(gt_poses, seed=0, n_walls_per_km=300,
     return scans, azimuths, ranges
 
 
+def recall_diagnostics(cfg, gt, odo, loops, opp_radius=7.5):
+    """Loop RECALL vs ground truth (VERDICT r2 weak-5): a query keyframe has
+    a genuine revisit opportunity if some earlier foreign-submap keyframe's
+    GT position lies within ``opp_radius`` and at least
+    ``num_exclude_recent`` keyframes back.  Break every opportunity down by
+    what the detector did with it."""
+    qn = loops.query_node
+    gt_nodes = gt[np.asarray(odo.node_frame)]
+    nsub = np.asarray(odo.node_submap)
+    d2 = np.linalg.norm(
+        gt_nodes[qn][:, None, :2] - gt_nodes[None, :, :2], axis=-1)
+    exclude = cfg.scan_context.num_exclude_recent
+    elig = (np.arange(len(gt_nodes))[None, :] <= qn[:, None] - exclude)
+    elig &= nsub[None, :] != nsub[qn][:, None]
+    has_opp = ((d2 < opp_radius) & elig).any(axis=1)
+    stages = loops.query_stage[has_opp]
+    return {
+        "revisit_opportunities": int(has_opp.sum()),
+        "opp_no_candidate": int((stages == 0).sum()),
+        "opp_same_submap": int((stages == 1).sum()),
+        "opp_cs_rejected": int((stages == 2).sum()),
+        "opp_accepted": int((stages == 3).sum()),
+        "false_candidates": int(((loops.query_stage >= 2) & ~has_opp).sum()),
+    }
+
+
+def loop_edge_errors(gt, odo, loops):
+    """Per accepted loop edge (root r -> query q): translation / rotation
+    error of the claimed relative SE(2) vs gt_r^-1 * gt_q."""
+    import jax.numpy as jnp
+
+    from randt_slam_tpu.geometry import compose, inverse
+
+    lb = loops.edge_begin
+    le = loops.edge_end
+    g_r = gt[np.asarray(odo.node_frame)[lb]]
+    g_q = gt[np.asarray(odo.node_frame)[le]]
+    rel_gt = np.asarray(compose(inverse(jnp.asarray(g_r)), jnp.asarray(g_q)))
+    err_t = np.linalg.norm(loops.edge_trans[:, :2] - rel_gt[:, :2], axis=1)
+    err_r = np.abs(np.arctan2(
+        np.sin(loops.edge_trans[:, 2] - rel_gt[:, 2]),
+        np.cos(loops.edge_trans[:, 2] - rel_gt[:, 2])))
+    return rel_gt, err_t, err_r
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--seq", default="10-12-32")
@@ -118,6 +163,20 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--chunk", type=int, default=250)
     ap.add_argument("--odometry-only", action="store_true")
+    ap.add_argument("--online", action="store_true",
+                    help="cadence-faithful replay through OnlineSlam: loop "
+                         "search + PGO + submap re-anchoring DURING the run "
+                         "(the reference's online timers), one final PGO at "
+                         "the end (VERDICT r3 item 3).  The reference's own "
+                         "offline mode (ndt_slam.cpp:124,176) searches loops "
+                         "per frame but optimizes once at bag end — the "
+                         "default batch path here matches that; --online "
+                         "adds the mid-run feedback of the live system.")
+    ap.add_argument("--loop-every", type=int, default=5,
+                    help="--online: loop-search cadence in frames (0.8 Hz "
+                         "timer at 4 Hz radar)")
+    ap.add_argument("--pgo-every", type=int, default=20,
+                    help="--online: PGO cadence in frames (0.2 Hz timer)")
     ap.add_argument("--ablate", default="",
                     help="comma-separated sensor ablations: "
                          + ",".join(ABLATIONS))
@@ -147,6 +206,7 @@ def main(argv=None):
                                      host=True)
 
     t0 = time.perf_counter()
+    res = None
     if args.odometry_only:
         odo = slam.run_odometry(cfg, frames, chunk=args.chunk)
         node_pose = odo.node_pose
@@ -154,6 +214,46 @@ def main(argv=None):
         timings = {}
         n_loops = 0
         odom = odo.odom_poses
+    elif args.online:
+        import jax
+        import jax.numpy as jnp
+
+        from randt_slam_tpu.pipeline.online import OnlineSlam
+
+        eng = OnlineSlam(cfg, loop_every=args.loop_every,
+                         pgo_every=args.pgo_every)
+        T = len(gt)
+        t_first = None
+        for t in range(T):
+            fr = jax.tree.map(lambda x: jnp.asarray(x[t]), frames)
+            eng.process_frame(fr)
+            if t == 0:
+                t_first = time.perf_counter() - t0
+            if t % 500 == 499:
+                print(f"online {t + 1}/{T} frames "
+                      f"({(time.perf_counter() - t0) / (t + 1) * 1e3:.0f} "
+                      f"ms/frame)", flush=True)
+        eng.finalize()
+        odom = np.stack(eng.odom_trace)
+        node_pose = eng.trajectory()
+        node_frame = np.asarray(eng.node_frame)
+        n_loops = eng.n_loop_edges
+        timings = {"mode": "online", "first_frame_s": round(t_first, 1),
+                   "loop_every": args.loop_every,
+                   "pgo_every": args.pgo_every}
+
+        class _O:  # minimal OdometryResult view for the shared tail
+            pass
+
+        odo = _O()
+        odo.odom_poses = odom
+        odo.node_pose = node_pose
+        odo.node_frame = node_frame
+        odo.node_submap = np.asarray(eng.node_submap)
+        odo.node_traversed = np.asarray(eng.node_traversed)
+        odo.rejected_frames = np.zeros(T, bool)
+        odo.saturation = {}
+        odo.chunk_seconds = np.zeros(0)
     else:
         res = slam.run_slam(cfg, frames, use_scan=True, chunk=args.chunk)
         odo = res.odometry
@@ -164,55 +264,17 @@ def main(argv=None):
         n_loops = res.loops.n_accepted
     wall = time.perf_counter() - t0
 
-    # Loop RECALL vs ground truth (VERDICT r2 weak-5): a query keyframe has a
-    # genuine revisit opportunity if some earlier foreign-submap keyframe's GT
-    # position lies within ``opp_radius`` and at least ``num_exclude_recent``
-    # keyframes back.  Break every opportunity down by what the detector did
-    # with it (no candidate / same-submap / CS-rejected / accepted).
     recall_diag = {}
-    if not args.odometry_only and len(res.loops.query_node):
-        L = res.loops
-        opp_radius = 7.5
-        qn = L.query_node
-        gt_nodes = gt[np.asarray(odo.node_frame)]
-        nsub = np.asarray(odo.node_submap)
-        d2 = np.linalg.norm(
-            gt_nodes[qn][:, None, :2] - gt_nodes[None, :, :2], axis=-1)
-        exclude = cfg.scan_context.num_exclude_recent
-        elig = (np.arange(len(gt_nodes))[None, :]
-                <= qn[:, None] - exclude)
-        elig &= nsub[None, :] != nsub[qn][:, None]
-        has_opp = ((d2 < opp_radius) & elig).any(axis=1)
-        stages = L.query_stage[has_opp]
-        recall_diag = {
-            "revisit_opportunities": int(has_opp.sum()),
-            "opp_no_candidate": int((stages == 0).sum()),
-            "opp_same_submap": int((stages == 1).sum()),
-            "opp_cs_rejected": int((stages == 2).sum()),
-            "opp_accepted": int((stages == 3).sum()),
-            "false_candidates": int(
-                ((L.query_stage >= 2) & ~has_opp).sum()),
-        }
+    if res is not None and len(res.loops.query_node):
+        recall_diag = recall_diagnostics(cfg, gt, odo, res.loops)
 
     # Loop-edge quality vs ground truth: each accepted edge (root r -> query
     # q) claims the relative SE(2) trans; compare against gt_r^-1 * gt_q.
     loop_diag = {}
-    if not args.odometry_only and n_loops:
-        from randt_slam_tpu.geometry import compose, inverse
-
-        import jax.numpy as jnp
-
+    if res is not None and n_loops:
         lb = res.loops.edge_begin
         le = res.loops.edge_end
-        g_r = gt[np.asarray(odo.node_frame)[lb]]
-        g_q = gt[np.asarray(odo.node_frame)[le]]
-        rel_gt = np.asarray(compose(inverse(jnp.asarray(g_r)),
-                                    jnp.asarray(g_q)))
-        err_t = np.linalg.norm(res.loops.edge_trans[:, :2] - rel_gt[:, :2],
-                               axis=1)
-        err_r = np.abs(np.arctan2(
-            np.sin(res.loops.edge_trans[:, 2] - rel_gt[:, 2]),
-            np.cos(res.loops.edge_trans[:, 2] - rel_gt[:, 2])))
+        rel_gt, err_t, err_r = loop_edge_errors(gt, odo, res.loops)
         np.savez(os.path.join(args.output, "loops.npz"),
                  edge_begin=lb, edge_end=le, trans=res.loops.edge_trans,
                  rel_gt=rel_gt, err_t=err_t, err_r=err_r,
@@ -261,8 +323,8 @@ def main(argv=None):
         "frames_per_second": round(len(gt) / wall, 2),
         "n_nodes": int(len(node_pose)),
         "n_loop_closures": int(n_loops),
-        "n_odom_gate_rejected": (0 if args.odometry_only
-                                 else int(res.loops.n_odom_gate_rejected)),
+        "n_odom_gate_rejected": (int(res.loops.n_odom_gate_rejected)
+                                 if res is not None else 0),
         "rejected_frames": int(np.asarray(odo.rejected_frames).sum()),
         "saturation": odo.saturation,
         "odom": {k: round(v, 5) for k, v in ev_odom.items()},
