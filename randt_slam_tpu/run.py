@@ -37,6 +37,10 @@ def build_parser():
     p.add_argument("--online", action="store_true",
                    help="incremental mode with mid-run PGO feedback")
     p.add_argument("--ogm", action="store_true", help="render the global OGM")
+    p.add_argument("--render", action="store_true",
+                   help="write map.png — the RViz view offline: OGM backdrop"
+                        " (with --ogm), NDT covariance ellipses, odometry +"
+                        " optimized trajectory")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--loop", action="store_true",
                    help="synthetic: closed-loop trajectory")
@@ -118,6 +122,7 @@ def main(argv=None):
     t0 = time.perf_counter()
 
     final_carry = None
+    ogm_grid = None
     if args.online:
         import jax
         from .pipeline.online import OnlineSlam
@@ -139,8 +144,8 @@ def main(argv=None):
             engine.save_checkpoint(args.checkpoint)
         final_carry = engine.carry
         if args.ogm and cfg.visualize_ogm:
-            viz.write_pgm(os.path.join(args.output, "ogm.pgm"),
-                          engine.render_ogm())
+            ogm_grid = engine.render_ogm()
+            viz.write_pgm(os.path.join(args.output, "ogm.pgm"), ogm_grid)
         odom = np.stack(engine.odom_trace)
         node_pose = engine.trajectory()
         node_stamp = np.asarray(engine.node_stamp)
@@ -170,8 +175,8 @@ def main(argv=None):
                 prof.stages[f"slam.{k}"].add(v)
         if args.ogm:
             with prof.stage("ogm"):
-                grid, _ = slam.render_ogm(cfg, res, frames)
-            viz.write_pgm(os.path.join(args.output, "ogm.pgm"), grid)
+                ogm_grid, _ = slam.render_ogm(cfg, res, frames)
+            viz.write_pgm(os.path.join(args.output, "ogm.pgm"), ogm_grid)
 
     wall = time.perf_counter() - t0
     T = len(odom)
@@ -191,6 +196,35 @@ def main(argv=None):
         viz.export_normal_distributions(
             os.path.join(args.output, "ndt_submap.npz"),
             np.asarray(mu), np.asarray(cov), np.asarray(valid))
+    if args.render:
+        # RViz-equivalent snapshot (``rviz_visualization.cpp:21-80``): OGM
+        # backdrop + active-submap NDT ellipses (world frame) + trajectories.
+        ndt = (None, None, None)
+        if final_carry is not None:
+            import jax.numpy as jnp
+
+            from .ndt import grid as G
+            from .registration.matcher import transform_mean_cov
+
+            mu, cov, valid = G.derive_sparse_fields(
+                final_carry.submap, cfg.ndt_map.min_points_per_cell,
+                cfg.ndt_map.cell)
+            mu_w, cov_w = transform_mean_cov(
+                jnp.asarray(final_carry.submap_origin), mu, cov)
+            ndt = (np.asarray(mu_w), np.asarray(cov_w), np.asarray(valid))
+        extent = None
+        if ogm_grid is not None:
+            o = cfg.ogm
+            extent = (-0.5 * o.size_x * o.resolution,
+                      0.5 * o.size_x * o.resolution,
+                      -0.5 * o.size_y * o.resolution,
+                      0.5 * o.size_y * o.resolution)
+        viz.render_map_png(
+            os.path.join(args.output, "map.png"),
+            node_pose=node_pose, odom=odom,
+            ndt_mean=ndt[0], ndt_cov=ndt[1], ndt_valid=ndt[2],
+            ogm=ogm_grid, ogm_extent=extent,
+            title=f"{args.input} — {T} frames, {int(n_loops)} loops")
 
     # exports (/ndt_odom and /randt_path equivalents)
     formats.write_tum(os.path.join(args.output, "odom_tum.txt"), stamps, odom)

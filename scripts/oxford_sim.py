@@ -180,6 +180,12 @@ def main(argv=None):
     ap.add_argument("--ablate", default="",
                     help="comma-separated sensor ablations: "
                          + ",".join(ABLATIONS))
+    ap.add_argument("--robust-kernel", default=None,
+                    choices=["huber", "dcs"],
+                    help="override the PGO robust kernel (DCS evidence runs"
+                         " — see GlobalFuserConfig.robust_kernel)")
+    ap.add_argument("--robust-two-stage", action="store_true",
+                    help="enable the two-stage robust PGO schedule")
     args = ap.parse_args(argv)
     os.makedirs(args.output, exist_ok=True)
 
@@ -199,6 +205,15 @@ def main(argv=None):
     stamps = (np.arange(len(gt)) * DT).astype(np.float32)
 
     cfg = from_reference_yaml(REF_YAML)
+    if args.robust_kernel or args.robust_two_stage:
+        import dataclasses as _dc
+
+        gf = cfg.global_fuser
+        if args.robust_kernel:
+            gf = _dc.replace(gf, robust_kernel=args.robust_kernel)
+        if args.robust_two_stage:
+            gf = _dc.replace(gf, robust_two_stage=True)
+        cfg = cfg.replace(global_fuser=gf)
     # frames stay on host as float16 (renders are f16 already); run_odometry
     # uploads per chunk and the front end upcasts on device — halves the
     # host->device transfer that bounds offline replay throughput
@@ -260,7 +275,8 @@ def main(argv=None):
         odom = odo.odom_poses
         node_pose = res.node_pose_optimized
         node_frame = res.node_frame
-        timings = res.timings
+        timings = dict(res.timings)
+        timings["loop_stages"] = getattr(res.loops, "timings", {})
         n_loops = res.loops.n_accepted
     wall = time.perf_counter() - t0
 
@@ -325,6 +341,8 @@ def main(argv=None):
         "n_loop_closures": int(n_loops),
         "n_odom_gate_rejected": (int(res.loops.n_odom_gate_rejected)
                                  if res is not None else 0),
+        "n_sc_candidates": (int(res.loops.n_sc_candidates)
+                            if res is not None else 0),
         "rejected_frames": int(np.asarray(odo.rejected_frames).sum()),
         "saturation": odo.saturation,
         "odom": {k: round(v, 5) for k, v in ev_odom.items()},

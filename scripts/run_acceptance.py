@@ -31,6 +31,28 @@ REF_SLAM_ATE = {  # oxford_results/randt_eval_*/slam/est/result.txt:4
 }
 
 
+def _config_fingerprint() -> str:
+    """Stable hash of the solver/gate fields that define the shipped
+    operating point (so SUMMARY rows betray config drift)."""
+    import hashlib
+
+    sys.path.insert(0, REPO)
+    from randt_slam_tpu.config import from_reference_yaml
+
+    cfg = from_reference_yaml(os.path.join(
+        "/root/reference/ros/ndt_radar_slam/config/parameters_oxford.yaml"))
+    lf, mc = cfg.local_fuser, cfg.matcher
+    key = repr((lf.loop_odom_gate, lf.loop_odom_gate_rot_base_deg,
+                lf.loop_odom_gate_rot_deg_per_100m,
+                lf.loop_odom_gate_trans_base_m, lf.loop_odom_gate_trans_pct,
+                lf.loop_closure_max_cs_divergence,
+                mc.lm_function_tolerance, mc.lm_max_iterations,
+                mc.gnc_steps, cfg.scan_context.dist_threshold,
+                cfg.scan_context.num_candidates,
+                cfg.scan_context.num_exclude_recent))
+    return hashlib.sha256(key.encode()).hexdigest()[:12]
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--outdir", default=os.path.join(REPO, "acceptance"))
@@ -43,7 +65,13 @@ def main():
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
 
+    # merge into an existing summary so partial re-runs refresh rows instead
+    # of dropping the others
     summary = {}
+    spath = os.path.join(args.outdir, f"SUMMARY{args.suffix}.json")
+    if os.path.exists(spath):
+        with open(spath) as f:
+            summary = json.load(f)
     for seq in args.seqs.split(","):
         out = os.path.join(args.tmp, seq + args.suffix)
         t0 = time.time()
@@ -59,6 +87,8 @@ def main():
             print(f"{seq} FAILED ({wall:.0f}s):\n{r.stdout[-2000:]}\n"
                   f"{r.stderr[-4000:]}", flush=True)
             summary[seq] = {"error": r.returncode}
+            with open(spath, "w") as f:
+                json.dump(summary, f, indent=2)
             continue
         with open(os.path.join(out, "metrics.json")) as f:
             m = json.load(f)
@@ -74,6 +104,11 @@ def main():
             "beats_reference": bool(ok),
             "n_loops": m["n_loop_closures"],
             "wall_s": round(wall, 1),
+            # config provenance: every row written by this script runs the
+            # shipped (gate-calibrated) configuration; the fingerprint makes
+            # a later config drift visible in the artifact itself
+            "final_gate_config": True,
+            "config_fingerprint": _config_fingerprint(),
         }
         print(json.dumps(summary[seq]), flush=True)
         with open(os.path.join(args.outdir,

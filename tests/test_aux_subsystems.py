@@ -230,3 +230,30 @@ def test_load_npz_sequence_roundtrip(tmp_path):
     assert seq.intensity.dtype == np.float32
     np.testing.assert_allclose(seq.stamps, [0.0, 0.25, 0.5])
     assert seq.gt_poses.shape == (3, 3)
+
+
+def test_render_map_png(tmp_path):
+    """Offline RViz-view renderer (OGM + ellipses + trajectories) writes a
+    real PNG for any subset of inputs (``viz.render_map_png``)."""
+    from randt_slam_tpu.io import viz
+
+    rng = np.random.default_rng(0)
+    C = 20
+    mean = np.concatenate(
+        [rng.uniform(-20, 20, (C, 2)), rng.uniform(0, 90, (C, 1))], 1)
+    A = rng.normal(size=(C, 3, 3)) * 0.3
+    cov = A @ np.transpose(A, (0, 2, 1)) + np.eye(3) * 0.05
+    valid = rng.random(C) > 0.2
+    traj = np.stack([np.linspace(-15, 15, 30),
+                     np.sin(np.linspace(0, 3, 30)) * 5, np.zeros(30)], 1)
+    ogm = rng.integers(-1, 100, (40, 60)).astype(np.float32)
+    p = tmp_path / "map.png"
+    viz.render_map_png(str(p), node_pose=traj, odom=traj + 0.5,
+                       ndt_mean=mean, ndt_cov=cov, ndt_valid=valid,
+                       ogm=ogm, ogm_extent=(-30, 30, -20, 20), title="t")
+    assert p.exists() and p.stat().st_size > 10_000
+    assert open(p, "rb").read(8)[1:4] == b"PNG"
+    # every input optional: trajectory-only render also succeeds
+    p2 = tmp_path / "traj_only.png"
+    viz.render_map_png(str(p2), node_pose=traj)
+    assert p2.exists() and p2.stat().st_size > 1_000
