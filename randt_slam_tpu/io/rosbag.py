@@ -172,7 +172,9 @@ def read_messages(path: str) -> Iterator[BagMessage]:
             elif comp == "bz2":
                 try:
                     payload = bz2.decompress(data)
-                except OSError as e:
+                except (OSError, ValueError, EOFError) as e:
+                    # CPython raises ValueError for a stream cut mid-chunk
+                    # and OSError for garbage bytes — both are corrupt input
                     raise BagFormatError(
                         f"corrupt bz2 chunk: {e}") from e
             else:

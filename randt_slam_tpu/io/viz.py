@@ -98,7 +98,12 @@ def render_map_png(path, node_pose=None, odom=None,
     * ``ndt_mean``/``ndt_cov``/``ndt_valid``: derived cell fields (C, 3...)
       already transformed into the world frame.
     """
-    import matplotlib
+    try:
+        import matplotlib
+    except ImportError as e:  # optional extra: pip install randt-slam-tpu[viz]
+        raise ImportError(
+            "render_map_png needs matplotlib (install the [viz] extra); "
+            "all other exports in io/viz.py are dependency-free") from e
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt

@@ -71,6 +71,27 @@ class LoopResult:
     timings: dict = dataclasses.field(default_factory=dict)
 
 
+def _chunked_over_frames(one, frames, node_frames, chunk=64):
+    """vmap ``one(frame) -> pytree`` over the given frame indices in
+    fixed-size chunks.
+
+    Frames are gathered on the HOST per chunk (padded by repeating the last
+    index) so the sequence can stay off-device
+    (``frames_from_arrays(host=True)``) and the jitted batch never
+    recompiles for a ragged tail."""
+    fn = jax.jit(jax.vmap(one))
+    outs = []
+    node_frames = np.asarray(node_frames, np.int64)
+    N = len(node_frames)
+    for lo in range(0, N, chunk):
+        idx = node_frames[lo:lo + chunk]
+        if len(idx) < chunk:
+            idx = np.concatenate([idx, np.full(chunk - len(idx), idx[-1])])
+        sub = jax.tree.map(lambda x: jnp.asarray(x[idx]), frames)
+        outs.append(fn(sub))
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[:N], *outs)
+
+
 def _keyframe_features(cfg: SlamConfig, frames, node_frames, sensor_to_base,
                        chunk=64):
     """Recompute scan NDT cells + SC descriptors for the given frame indices.
@@ -87,23 +108,8 @@ def _keyframe_features(cfg: SlamConfig, frames, node_frames, sensor_to_base,
         )
         return scan.mean, scan.cov, scan.valid, scan.stats, desc
 
-    # Frames are gathered on the HOST per fixed-size chunk (padded by
-    # repeating the last index) so the sequence can stay off-device
-    # (``frames_from_arrays(host=True)``) and the jitted batch never
-    # recompiles for a ragged tail.
-    fn = jax.jit(jax.vmap(one))
-    outs = []
-    node_frames = np.asarray(node_frames, np.int64)
-    N = len(node_frames)
-    for lo in range(0, N, chunk):
-        idx = node_frames[lo:lo + chunk]
-        if len(idx) < chunk:
-            idx = np.concatenate([idx, np.full(chunk - len(idx), idx[-1])])
-        sub = jax.tree.map(lambda x: jnp.asarray(x[idx]), frames)
-        outs.append(fn(sub))
-    mean, cov, valid, stats, desc = jax.tree.map(
-        lambda *xs: jnp.concatenate(xs, axis=0)[:N], *outs
-    )
+    mean, cov, valid, stats, desc = _chunked_over_frames(
+        one, frames, node_frames, chunk)
     rk = jax.vmap(SC.ring_key)(desc)
     return mean, cov, valid, stats, desc, rk
 
@@ -120,17 +126,7 @@ def _candidate_features(cfg: SlamConfig, frames, node_frames, sensor_to_base,
         scan, _ = F.build_scan_cells(cfg, fr, sensor_to_base)
         return scan.mean, scan.cov, scan.valid
 
-    fn = jax.jit(jax.vmap(one))
-    outs = []
-    node_frames = np.asarray(node_frames, np.int64)
-    N = len(node_frames)
-    for lo in range(0, N, chunk):
-        idx = node_frames[lo:lo + chunk]
-        if len(idx) < chunk:
-            idx = np.concatenate([idx, np.full(chunk - len(idx), idx[-1])])
-        sub = jax.tree.map(lambda x: jnp.asarray(x[idx]), frames)
-        outs.append(fn(sub))
-    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[:N], *outs)
+    return _chunked_over_frames(one, frames, node_frames, chunk)
 
 
 def odom_consistency_gate(lcfg, edge_trans, rel_odom, span_m):

@@ -140,6 +140,10 @@ def main(argv=None):
                 if (args.checkpoint
                         and (t + 1) % args.checkpoint_every == 0):
                     engine.save_checkpoint(args.checkpoint)
+        # bag-end semantics (``ndt_slam.cpp:176-178``): drain the pending
+        # loop queue, one final PGO over every edge + re-anchoring
+        with prof.stage("online_finalize"):
+            engine.finalize()
         if args.checkpoint:
             engine.save_checkpoint(args.checkpoint)
         final_carry = engine.carry

@@ -35,7 +35,13 @@ def save_carry(path: str, carry, extra: dict | None = None):
 
 
 def load_carry(path: str, template):
-    """Rebuild a carry pytree with the structure of ``template`` from .npz."""
+    """Rebuild a carry pytree with the structure of ``template`` from .npz.
+
+    Fields missing from the snapshot keep the TEMPLATE's value — carries
+    saved before a field was added (e.g. the round-4 derived-field caches)
+    stay loadable.  Safe only for fields whose template default is a valid
+    empty state; the derived caches are rebuilt at the next keyframe exit.
+    """
     import jax.numpy as jnp
 
     data = np.load(path)
@@ -48,6 +54,8 @@ def load_carry(path: str, template):
             }
             return type(node)(**kw)
         key = prefix.rstrip("/")
+        if key not in data.files:
+            return node  # pre-existing checkpoint without this field
         return jnp.asarray(data[key])
 
     return rebuild(template)

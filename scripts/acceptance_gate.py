@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BANDS = {
     "odom_trans_err_pct_max": 0.4,
     "slam_ate_m_max": 1.0,
-    "min_loop_closures": 12,
+    "min_loop_closures": 16,  # > measured/2 = 15.5, so halved recall trips
     "loop_err_t_median_m_max": 0.3,
     "max_rejected_frames": 10,
 }

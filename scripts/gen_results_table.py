@@ -23,7 +23,16 @@ END = "<!-- /AUTOGEN:acceptance-table -->"
 
 def build_section() -> str:
     summary = json.load(open(os.path.join(ACC, "SUMMARY.json")))
-    seqs = sorted(k for k in summary if re.match(r"\d\d-\d\d-\d\d$", k))
+    seqs = []
+    failed = []
+    for k in sorted(summary):
+        if not re.match(r"\d\d-\d\d-\d\d$", k):
+            continue
+        if "error" in summary[k] or not os.path.exists(
+                os.path.join(ACC, f"{k}_metrics.json")):
+            failed.append(k)   # persisted failure rows must not brick the
+            continue           # generator — they get their own note
+        seqs.append(k)
     rows = []
     tot = dict(odom_ate=0.0, terr=0.0, rerr=0.0, ate=0.0, ref=0.0)
     pre_gate = []
@@ -85,6 +94,9 @@ def build_section() -> str:
         "(revisit opportunities / no-candidate / CS-rejected / accepted, "
         "per-edge GT error) recorded per sequence."
     )
+    if failed:
+        prov += (f"  NOTE: {', '.join(failed)} currently carry an error row "
+                 "in SUMMARY.json (last run failed) and are excluded above.")
     return "\n".join([head] + rows + [mean, "", blurb, "", prov])
 
 

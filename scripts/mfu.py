@@ -116,7 +116,10 @@ def main(quiet=False, include_schur=True):
     # the tunnel that inflates the single-call number above.
     def _body(c, fr):
         c2, out = F.frontend_step(cfg, c, fr, s2b)
-        return c2, out.odom_pose
+        # return the descriptor too — the offline driver materializes it
+        # every frame, and returning only the pose would let XLA dead-code
+        # the ScanContext build out of this measurement
+        return c2, (out.odom_pose, out.sc_desc)
 
     scan_fn = jax.jit(lambda c, fs: jax.lax.scan(_body, c, fs))
     d40 = jax.tree.map(lambda a: jnp.asarray(a[:40]), frames)

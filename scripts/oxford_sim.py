@@ -266,7 +266,7 @@ def main(argv=None):
         odo.node_frame = node_frame
         odo.node_submap = np.asarray(eng.node_submap)
         odo.node_traversed = np.asarray(eng.node_traversed)
-        odo.rejected_frames = np.zeros(T, bool)
+        odo.rejected_frames = np.asarray(eng.rejected_trace, bool)
         odo.saturation = {}
         odo.chunk_seconds = np.zeros(0)
     else:
