@@ -224,9 +224,15 @@ def bench_e2e(cfg):
     # slice); this is the pipeline's own steady rate.
     dframes = jax.device_put(frames)
     jax.block_until_ready(dframes.intensity)
+    t0 = time.perf_counter()
     odo_d = slam.run_odometry(cfg, dframes, chunk=200)
+    odo_dev_wall_s = time.perf_counter() - t0
     cs_d = np.asarray(odo_d.chunk_seconds)
-    odo_dev_s = float(np.median(cs_d[1:])) * len(cs_d)
+    # steady rate = median chunk excluding the compile-bearing first chunk;
+    # with <=1 chunk there is no steady window — use the raw wall (ADVICE r4:
+    # median of an empty slice is NaN and poisoned the e2e JSON).
+    odo_dev_s = (float(np.median(cs_d[1:])) * len(cs_d)
+                 if len(cs_d) >= 2 else odo_dev_wall_s)
     del dframes, odo_d
 
     steady_total = odo_steady_s + loop_steady_s + pgo_steady_s
@@ -290,12 +296,11 @@ def main():
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "scripts"))
-        # mfu.main() does ``from bench import ...``; when this file runs as
-        # __main__ that import would otherwise re-execute it as a second
-        # module instance (ADVICE r3) — alias it first.
-        sys.modules.setdefault("bench", sys.modules[__name__])
         import mfu as MFU
-        for row in MFU.main(quiet=True, include_schur=False):
+        # pass this module in explicitly — mfu must not import bench itself
+        # (bench -> mfu -> bench cycle, ADVICE r3/r4)
+        for row in MFU.main(quiet=True, include_schur=False,
+                            bench_mod=sys.modules[__name__]):
             key = row["kernel"].split(" ")[0]
             mfu[f"mfu_{key}"] = {
                 k: v for k, v in row.items()

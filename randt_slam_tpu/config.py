@@ -174,7 +174,12 @@ class ScanContextConfig:
     num_ring: int = 30
     num_sector: int = 120
     max_radius: float = 90.0
-    num_exclude_recent: int = 100
+    # 50 (reference default is 100, ``Scancontext.h``): the round-4 recall
+    # sensitivity sweep (``acceptance/loop_sweep.json``, OXFORD_RESULTS §6)
+    # measured 100 -> 50 as +4% recall at ZERO additional bad edges on the
+    # revisit window — adopted (VERDICT r4 item 8).  Reference YAMLs that set
+    # the key explicitly still override this via ``from_reference_yaml``.
+    num_exclude_recent: int = 50
     num_candidates: int = 10
     search_ratio: float = 1.0
     dist_threshold: float = 0.7
@@ -250,14 +255,10 @@ class GlobalFuserConfig:
     # redescending kernel that suppresses gross loop-closure outliers far
     # harder than Huber's linear tail.
     #
-    # STATUS: "huber" is the shipped default, matching the reference's only
-    # robust option (``global_fuser.cpp:17-23``); every acceptance artifact
-    # was produced with it.  "dcs" and ``robust_two_stage`` are EXPERIMENTAL
-    # TPU-native extensions (no reference counterpart): unit-tested
-    # (``tests/test_pose_graph.py``) and compared on the gate window in
-    # OXFORD_RESULTS.md §6, but not exercised by the shipped configs —
-    # outlier loop edges are handled by the calibrated odometry-consistency
-    # gate instead (``LocalFuserConfig.loop_odom_gate``).
+    # STATUS: "huber" matches the reference's only robust option
+    # (``global_fuser.cpp:17-23``); it is what ``use_robust_loss: true``
+    # selects for reference-parity runs.  The SHIPPED defense against bad
+    # loop edges is ``dcs_loop_defense`` below.
     robust_kernel: str = "huber"        # "huber" | "dcs"
     # Apply the robust kernel only to non-consecutive (loop) edges; odometry
     # edges stay quadratic (they are trusted by construction).
@@ -267,6 +268,23 @@ class GlobalFuserConfig:
     # residual of an inconsistent loop edge concentrates on itself, so IRLS
     # identifies outliers without suppressing genuine drift-corrupted loops.
     robust_two_stage: bool = False
+    # --- SHIPPED TPU-native defense (VERDICT r4 item 2) -------------------
+    # Dynamic Covariance Scaling on LOOP edges only, applied two-stage
+    # (quadratic solve first, then DCS-weighted re-solve).  Independent of
+    # the reference-parity ``use_robust_loss`` knob so it survives loading
+    # the reference YAMLs (which set ``use_robust_loss: false`` for Oxford).
+    # Round-4's azimuth-jitter ablation showed two bad edges slipping BOTH
+    # the CS and odometry-consistency gates and making SLAM worse than
+    # odometry (9.07 vs 5.06 m ATE) — DCS two-stage is the residual-domain
+    # backstop for exactly that case (``tests/test_pose_graph.py``).
+    # Clean-run loop edges sit far inside the unit-weight region
+    # (w == 1 for ||r|| <= dcs_scale; median whitened loop residual ~0.05),
+    # so the clean acceptance rows are unaffected.
+    dcs_loop_defense: bool = True
+    # DCS phi = dcs_scale^2, in whitened-residual units of the loop edges
+    # (sqrtI ~ diag(1, 1, 0.1)): genuine loops land well under 1; the
+    # jitter-ablation outliers (2.9-3.6 m) land at w < 0.05.
+    dcs_scale: float = 1.0
 
 
 @dataclass(frozen=True)

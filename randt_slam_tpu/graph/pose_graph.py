@@ -117,10 +117,26 @@ def _dcs_weight(r, scale):
 def robust_spec(cfg: GlobalFuserConfig):
     """Hashable robust-loss spec — ``None`` when off, else
     ``(kernel, loop_edges_only)``.  Used both to compute IRLS weights and as
-    part of the Schur kernel-cache key."""
+    part of the Schur kernel-cache key.
+
+    The shipped TPU-native DCS loop defense (``cfg.dcs_loop_defense``) is
+    NOT reflected here: applying a redescending kernel from a drifted init
+    suppresses genuine loop edges (their residuals are large until PGO
+    corrects the drift), so the defense only activates in stage 2 of
+    :func:`schur.optimize_auto`'s two-stage schedule, which rewrites the
+    stage-2 config to a ``("dcs", loop-only)`` spec at ``dcs_scale``."""
     if not cfg.use_robust_loss:
         return None
     return (cfg.robust_kernel, bool(cfg.robust_loop_edges_only))
+
+
+def robust_two_stage(cfg: GlobalFuserConfig) -> bool:
+    """Whether the PGO should run the two-stage schedule: always for the DCS
+    defense (part of its design — see ``GlobalFuserConfig.dcs_loop_defense``),
+    opt-in for the reference-parity robust knob."""
+    if cfg.dcs_loop_defense:
+        return True
+    return bool(cfg.use_robust_loss and cfg.robust_two_stage)
 
 
 def robust_weight(r, id_begin, id_end, scale, spec):

@@ -729,7 +729,7 @@ def optimize_auto(g: PG.PoseGraph, cfg: GlobalFuserConfig,
             info["solver"] = "schur"
         return poses, info
 
-    if cfg.use_robust_loss and cfg.robust_two_stage:
+    if PG.robust_two_stage(cfg):
         # Stage 1: plain least squares to convergence.  Stage 2: re-solve
         # from that optimum with robust IRLS weights — there, the residual of
         # an inconsistent loop edge concentrates on itself (the 472:1
@@ -737,9 +737,20 @@ def optimize_auto(g: PG.PoseGraph, cfg: GlobalFuserConfig,
         # outliers instead of genuine drift-corrupted loops at init.
         import dataclasses
 
-        pre = dataclasses.replace(cfg, use_robust_loss=False)
+        pre = dataclasses.replace(cfg, use_robust_loss=False,
+                                  dcs_loop_defense=False)
         poses1, _ = _solve(g, pre)
-        poses, info = _solve(g._replace(poses=poses1), cfg)
+        if cfg.dcs_loop_defense:
+            # the shipped defense: stage 2 is DCS on loop edges only, at
+            # dcs_scale (robust_spec deliberately ignores dcs_loop_defense
+            # so that single-stage entry points stay quadratic)
+            stage2 = dataclasses.replace(
+                cfg, dcs_loop_defense=False, use_robust_loss=True,
+                robust_kernel="dcs", robust_loop_edges_only=True,
+                loss_function_scale=cfg.dcs_scale)
+        else:
+            stage2 = cfg
+        poses, info = _solve(g._replace(poses=poses1), stage2)
         info["two_stage"] = True
         return poses, info
     return _solve(g, cfg)

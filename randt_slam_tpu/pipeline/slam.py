@@ -411,6 +411,15 @@ def run_odometry(
 
             outs_list = []
             chunk_seconds = []
+            # float32 side-store of KEYFRAME descriptors: the bulk per-frame
+            # retention below is cast to f16 to halve host memory, but the
+            # loop pass retrieves over node_desc — keeping the node rows f32
+            # makes the fast path bit-identical to a recompute (ADVICE r4).
+            # Node records exit delayed (insertion_delay frames), so a node
+            # emitted in chunk i can source a frame from chunk i-1: keep a
+            # one-chunk rolling window of f32 rows.
+            desc32_window: dict = {}
+            node_desc32: dict = {}
             nxt = _put(0, min(chunk, T))
             for lo in range(0, T, chunk):
                 t_c = _time.perf_counter()
@@ -423,6 +432,14 @@ def run_odometry(
                     nxt = _put(hi, min(hi + chunk, T))
                 host = jax.tree.map(np.asarray, outs)  # sync point
                 if host.sc_desc is not None:           # halve host retention
+                    for i in range(lo, hi):
+                        desc32_window[i] = host.sc_desc[i - lo]
+                    nv = host.nodes.valid.reshape(-1)
+                    for f in host.nodes.frame_idx.reshape(-1)[nv]:
+                        node_desc32[int(f)] = np.asarray(
+                            desc32_window[int(f)], np.float32)
+                    for k in [k for k in desc32_window if k < lo - chunk]:
+                        del desc32_window[k]
                     host = host._replace(
                         sc_desc=host.sc_desc.astype(np.float16))
                 outs_list.append(host)
@@ -443,10 +460,18 @@ def run_odometry(
     carry = jax.jit(partial(F.flush_submap, cfg))(carry)
 
     tables = _unstack_outputs(cfg, outs)
-    desc_all = (np.asarray(outs.sc_desc)
-                if outs.sc_desc is not None else None)
-    node_desc = (desc_all[tables["node_frame"]].astype(np.float16)
-                 if desc_all is not None else None)
+    chunked = bool(use_scan and chunk and chunk < T)
+    if chunked and outs.sc_desc is not None:
+        # node rows were retained f32 in the chunk loop (ADVICE r4)
+        node_desc = np.stack(
+            [node_desc32[int(f)] for f in tables["node_frame"]]
+        ) if len(tables["node_frame"]) else np.zeros(
+            (0,) + outs.sc_desc.shape[1:], np.float32)
+    elif outs.sc_desc is not None:
+        node_desc = np.asarray(
+            outs.sc_desc)[tables["node_frame"]].astype(np.float32)
+    else:
+        node_desc = None
     return OdometryResult(
         odom_poses=np.asarray(outs.odom_pose),
         node_id=tables["node_id"],

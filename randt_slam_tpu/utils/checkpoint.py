@@ -34,13 +34,23 @@ def save_carry(path: str, carry, extra: dict | None = None):
     np.savez_compressed(path, **flat)
 
 
+# Fields added AFTER checkpoints already existed in the wild: only these may
+# fall back to the template value when missing from a snapshot.  Anything else
+# missing means a truncated/mismatched file and must raise, not silently
+# resume from partly-default state (ADVICE r4).  The derived-field caches are
+# safe to default because they are rebuilt at the next keyframe exit.
+MIGRATED_FIELDS = frozenset({
+    "submap_fmean", "submap_fcov", "submap_fvalid",
+    "prev_fmean", "prev_fcov", "prev_fvalid",
+})
+
+
 def load_carry(path: str, template):
     """Rebuild a carry pytree with the structure of ``template`` from .npz.
 
-    Fields missing from the snapshot keep the TEMPLATE's value — carries
-    saved before a field was added (e.g. the round-4 derived-field caches)
-    stay loadable.  Safe only for fields whose template default is a valid
-    empty state; the derived caches are rebuilt at the next keyframe exit.
+    Fields in :data:`MIGRATED_FIELDS` missing from the snapshot keep the
+    TEMPLATE's value — carries saved before such a field was added stay
+    loadable.  Any other missing field raises ``KeyError``.
     """
     import jax.numpy as jnp
 
@@ -55,7 +65,12 @@ def load_carry(path: str, template):
             return type(node)(**kw)
         key = prefix.rstrip("/")
         if key not in data.files:
-            return node  # pre-existing checkpoint without this field
+            if key in MIGRATED_FIELDS:
+                return node  # pre-migration checkpoint without this field
+            raise KeyError(
+                f"checkpoint {path!r} is missing field {key!r} (not a known "
+                f"migrated field) — refusing to resume from a truncated or "
+                f"mismatched snapshot")
         return jnp.asarray(data[key])
 
     return rebuild(template)

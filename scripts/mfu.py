@@ -79,12 +79,21 @@ def timeit(fn, *args, n=30):
     return (time.perf_counter() - t0) / n
 
 
-def main(quiet=False, include_schur=True):
+def main(quiet=False, include_schur=True, bench_mod=None):
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from bench import build_config, build_frames, N_AZ, BIN_W, MAX_RANGE
+    if bench_mod is None:
+        # standalone invocation: import the repo-root bench module.  When
+        # called FROM bench.py the caller passes itself instead, so there is
+        # no bench -> mfu -> bench import cycle (ADVICE r3/r4).
+        sys.path.insert(0, os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        import bench as bench_mod
+    build_config = bench_mod.build_config
+    build_frames = bench_mod.build_frames
+    N_AZ, BIN_W = bench_mod.N_AZ, bench_mod.BIN_W
+    MAX_RANGE = bench_mod.MAX_RANGE
     from randt_slam_tpu.pipeline import frontend as F
     from randt_slam_tpu.pipeline import slam
 
@@ -171,8 +180,7 @@ def main(quiet=False, include_schur=True):
         if not quiet:
             print(json.dumps({"mfu": results}, indent=2))
         return results
-    from bench import bench_pgo_ms
-    _, _, solver, it_ms = bench_pgo_ms()
+    _, _, solver, it_ms = bench_mod.bench_pgo_ms()
     # cost model of the iteration kernel: reuse the jitted iteration from the
     # benchmark helper (its flops live inside schur's cached kernels; measure
     # achieved bytes via the graph arrays as a lower bound)

@@ -292,9 +292,14 @@ def main():
         },
         "e2e_slice": {
             "work": "odometry + loop phase + 10 sharded-PGO iterations",
+            # NOT one back-to-back timed pass: each t_* is the SUM of the
+            # per-phase best-of-5 minima measured above, so summing
+            # independent minima can understate a real end-to-end wall
+            # (ADVICE r4 — labeled like the ICI projection below).
+            "method": "composite of per-phase best-of-5 minima",
             "t_1core_s": round(e2e_1, 3),
             "t_2core_s": round(e2e_2, 3),
-            "efficiency_measured_loopback": round(e2e_1 / (2 * e2e_2), 3),
+            "efficiency_composite_loopback": round(e2e_1 / (2 * e2e_2), 3),
             # same slice with the measured per-shard PGO compute but the
             # psum costed at ICI bandwidth (PROJECTION, clearly labeled:
             # loopback TCP on 2 contended cores is not chip interconnect)

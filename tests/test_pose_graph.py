@@ -185,7 +185,9 @@ def test_dcs_two_stage_suppresses_outlier_loop():
         return float(np.sqrt((np.linalg.norm(rel_p - rel_g, axis=1) ** 2)
                              .mean()))
 
-    plain, _ = schur.optimize_auto(g, GlobalFuserConfig())
+    # dcs_loop_defense is the SHIPPED default now — turn it off to get the
+    # truly quadratic baseline this test contrasts against
+    plain, _ = schur.optimize_auto(g, GlobalFuserConfig(dcs_loop_defense=False))
     robust_cfg = GlobalFuserConfig(
         use_robust_loss=True, loss_function_scale=1.0, robust_kernel="dcs",
         robust_loop_edges_only=True, robust_two_stage=True)
@@ -193,7 +195,8 @@ def test_dcs_two_stage_suppresses_outlier_loop():
     assert info["two_stage"]
     # oracle: the same solve with the outlier edge simply removed
     oracle, _ = schur.optimize_auto(
-        g._replace(valid=g.valid.at[-1].set(False)), GlobalFuserConfig())
+        g._replace(valid=g.valid.at[-1].set(False)),
+        GlobalFuserConfig(dcs_loop_defense=False))
     p, r, o = window_ate(plain), window_ate(robust), window_ate(oracle)
     assert r < 0.8 * p, (p, r, o)          # clearly better than quadratic
     assert r < 1.15 * o + 0.05, (p, r, o)  # and ~at the outlier-free optimum
@@ -204,7 +207,8 @@ def test_huber_all_edges_reference_parity_still_works():
     optimizes a clean graph to the same solution as the quadratic solve."""
     rng = np.random.default_rng(3)
     g, gt, _ = make_circle_graph(rng, n=40, drift=0.01, n_loops=3)
-    plain, _ = PG.optimize(g, GlobalFuserConfig())
+    plain, _ = PG.optimize(g, GlobalFuserConfig(dcs_loop_defense=False))
     hub, _ = PG.optimize(g, GlobalFuserConfig(
+        dcs_loop_defense=False,
         use_robust_loss=True, loss_function_scale=750.0))
     np.testing.assert_allclose(np.asarray(plain), np.asarray(hub), atol=1e-2)
