@@ -165,6 +165,23 @@ class MatcherConfig:
     # accepted LM step improving the cost by less than this relative amount
     # terminates the inner loop.
     lm_function_tolerance: float = 1e-6
+    # TPU-native (no reference counterpart): route the window estimator's
+    # LM loop through the Pallas-fused linearize/cost kernels
+    # (``ops/ndt_linearize.py``).  MEASURED round 5 (scripts/
+    # ab_pallas_linearize.py, 40-frame lax.scan on the v5e): numerically
+    # exact vs the jacfwd path (same ATE, pose delta < 5e-4 m) but ~3%
+    # SLOWER (2.13 vs 2.06 ms/frame) — at W=3 x 2048-pair shapes the Mosaic
+    # launch overhead inside the LM while_loop eats the fusion win, and the
+    # round-4 ftol/ptol fixes already cut the iteration count the fusion
+    # would have amortized.  Kept for larger windows/capacities where the
+    # arithmetic grows but launches don't; OFF by default.
+    use_pallas_linearize: bool = False
+    # Independently: solve the damped 36x36 normal equations with the
+    # single-kernel in-VMEM Cholesky (``ops/small_chol.py``) instead of
+    # XLA's LU pipeline.  MEASURED round 5: exact but ~8% slower per frame —
+    # the kernel's 3P sequential cross-lane reductions underperform the LU
+    # custom call at P=36.  OFF by default.
+    use_pallas_chol: bool = False
 
 
 @dataclass(frozen=True)

@@ -71,6 +71,119 @@ class LoopResult:
     timings: dict = dataclasses.field(default_factory=dict)
 
 
+# Chunk sizes of the batched passes.  QCH/CCH are the chip's memory limit at
+# Oxford capacities (QCH=1024/CCH=128 OOM a v5e) — do not raise casually.
+QCH = 256      # retrieval queries per dispatch
+CCH = 64       # refine+gate candidates per dispatch
+FCH = 64       # keyframe feature recomputes per dispatch
+
+
+_EXEC_CACHE: dict = {}
+
+
+def _loop_executables(cfg: SlamConfig):
+    """Memoized jitted loop-phase executables.
+
+    Shared between :func:`detect_loops` and :func:`prewarm` so (a) a
+    single-process multi-sequence driver reuses the in-memory jit caches and
+    (b) the prewarm pass lowers EXACTLY the callables the real pass invokes.
+    All shapes fed to these are config-derived (capacity buckets), never
+    sequence-derived — that is what makes the compiled executables reusable
+    across sequences and, via the persistent .jax_cache, across processes.
+    """
+    ex = _EXEC_CACHE.get(cfg)
+    if ex is not None:
+        return ex
+    sc_cfg = cfg.scan_context
+
+    detect_batch = jax.jit(jax.vmap(
+        lambda q, nv, d_, rk_, pos_, tr_: SC.detect(
+            q, d_, rk_, pos_, tr_, nv, sc_cfg),
+        in_axes=(0, None, None, None, None, None),
+    ))
+    refine = jax.jit(jax.vmap(partial(matcher.estimate_loop, cfg)))
+    self_fn = jax.jit(D.self_term)
+    m_self_fn = jax.jit(jax.vmap(D.self_term))
+
+    def gate(pose, fm, fc, fv, mm, mc, mv, fs, ms):
+        mm2, mc2 = matcher.transform_mean_cov(pose, mm, mc)
+        return D.cs_divergence(fm, fc, fv, mm2, mc2, mv,
+                               f_self=fs, m_self=ms)
+
+    gate_b = jax.jit(jax.vmap(gate))
+    ex = {"detect": detect_batch, "refine": refine, "self_term": self_fn,
+          "m_self": m_self_fn, "gate": gate_b}
+    _EXEC_CACHE[cfg] = ex
+    return ex
+
+
+def prewarm(cfg: SlamConfig, frames=None, sensor_to_base=None) -> float:
+    """Ahead-of-time compile of the loop-phase executables.
+
+    The loop phase is COMPILE-dominated: at acceptance shapes every stage's
+    device compute is sub-ms (``scripts/profile_loop.py``) while a cold
+    compile of the refine/retrieval executables costs tens of seconds on the
+    remote compile service.  ``run_slam`` launches this in a background
+    thread at the start of the odometry phase (the reference overlaps loop
+    search with odometry on timer threads, ``ndt_slam.h:53-72``): lowering +
+    compiling here populates the persistent cache, so the real loop pass
+    afterwards pays only a cache deserialization.  Best-effort — any failure
+    leaves the normal path untouched.  Returns wall seconds spent.
+    """
+    import time as _time
+
+    t0 = _time.perf_counter()
+    prewarm.last_error = None
+    try:
+        ex = _loop_executables(cfg)
+        f32 = jnp.float32
+        cap = cfg.capacity
+        R, S_sec = cfg.scan_context.num_ring, cfg.scan_context.num_sector
+        N_pad = cap.max_nodes
+        C = cap.max_scan_cells
+        S = cap.max_submap_cells
+        # CALL the jitted functions with dummy arrays rather than AOT
+        # .lower().compile(): the AOT path writes a DIFFERENT persistent-cache
+        # key than real dispatch (measured: a post-prewarm real call still
+        # recompiled), while a dispatch-path call both hits/fills the right
+        # cache entry AND populates the in-process jit cache.  Execution cost
+        # of each dummy call is sub-ms.
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=f32), (CCH, S, 3, 3))
+        eyeC = jnp.broadcast_to(jnp.eye(3, dtype=f32), (CCH, C, 3, 3))
+        fm = (jnp.ones((CCH, S, 3), f32), eye, jnp.ones((CCH, S), bool))
+        mm = (jnp.ones((CCH, C, 3), f32), eyeC, jnp.ones((CCH, C), bool))
+        out = ex["detect"](
+            jnp.zeros((QCH,), jnp.int32), jnp.int32(1),
+            jnp.zeros((N_pad, R, S_sec), f32), jnp.zeros((N_pad, R), f32),
+            jnp.zeros((N_pad, 2), f32), jnp.zeros((N_pad,), f32))
+        est = ex["refine"](jnp.zeros((CCH, 3), f32), *fm, *mm)
+        ms = ex["m_self"](*mm)
+        fs = ex["self_term"](fm[0][0], fm[1][0], fm[2][0])
+        cs = ex["gate"](est.pose, *fm, *mm, jnp.zeros((CCH,), f32), ms)
+        jax.block_until_ready((out, est, ms, fs, cs))
+        if frames is not None:
+            s2b = (jnp.zeros(3, f32) if sensor_to_base is None
+                   else jnp.asarray(sensor_to_base, f32))
+            # same chunked-vmap structure as _candidate_features; only the
+            # HLO (hence cache key) must match — the closure is fresh there
+            # anyway, so call through the identical construction
+            def one(fr):
+                scan, _ = F.build_scan_cells(cfg, fr, s2b)
+                return scan.mean, scan.cov, scan.valid
+
+            fn = jax.jit(jax.vmap(one))
+            sub = jax.tree.map(
+                lambda x: jnp.zeros((FCH,) + tuple(x.shape[1:]),
+                                    jnp.empty((), x.dtype).dtype),
+                frames)
+            jax.block_until_ready(fn(sub))
+    except Exception as e:  # pragma: no cover - must never break the run
+        # surfaced via run_slam's timings so a silent miss is visible in the
+        # metrics artifact instead of re-appearing as a mystery compile wall
+        prewarm.last_error = repr(e)
+    return _time.perf_counter() - t0
+
+
 def _chunked_over_frames(one, frames, node_frames, chunk=64):
     """vmap ``one(frame) -> pytree`` over the given frame indices in
     fixed-size chunks.
@@ -183,30 +296,53 @@ def detect_loops(
     jax.block_until_ready(ring_keys)
     timings["features_s"] = round(_time.perf_counter() - t0, 3)
 
-    positions = jnp.asarray(odo.node_pose[:, :2], dtype)
-    distances = jnp.asarray(odo.node_traversed, dtype)
+    # ---- step 2: ScanContext retrieval for all queries (chunked vmap) ------
+    # The database arrays are padded to a NODE-COUNT BUCKET so the jitted
+    # retrieval executable has the same shape for every sequence of similar
+    # length — the loop phase's wall time is compile-dominated (device
+    # compute is sub-ms at these shapes, scripts/profile_loop.py), and
+    # per-sequence shapes used to force a fresh ~20 s compile each run.
+    # With bucketing, run 2..n hit the persistent .jax_cache.
+    t0 = _time.perf_counter()
+    N_pad = cfg.capacity.max_nodes  # fixed: one retrieval shape for ALL runs
+    assert N <= N_pad, (N, N_pad)
+    pad = N_pad - N
+
+    def _padn(a):
+        return jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) if pad else a
+
+    desc_p = _padn(desc)
+    ring_keys_p = _padn(ring_keys)
+    positions = _padn(jnp.asarray(odo.node_pose[:, :2], dtype))
+    distances = _padn(jnp.asarray(odo.node_traversed, dtype))
     node_submap = jnp.asarray(odo.node_submap, jnp.int32)
 
-    # ---- step 2: ScanContext retrieval for all queries (chunked vmap) ------
-    t0 = _time.perf_counter()
     query_ids = np.nonzero(~odo.node_is_root)[0]
-    detect_batch = jax.jit(jax.vmap(
-        lambda q: SC.detect(q, desc, ring_keys, positions, distances,
-                            jnp.int32(N), sc_cfg)
-    ))
-    QCH = 256
+    ex = _loop_executables(cfg)
+    detect_batch = ex["detect"]
     parts = []
+    chunk_walls = []
     for lo in range(0, len(query_ids), QCH):
+        t_c = _time.perf_counter()
         q = query_ids[lo:lo + QCH]
         if len(q) < QCH:
             q = np.concatenate([q, np.full(QCH - len(q), q[-1])])
-        parts.append(detect_batch(jnp.asarray(q, jnp.int32)))
+        part = detect_batch(jnp.asarray(q, jnp.int32), jnp.int32(N),
+                            desc_p, ring_keys_p, positions, distances)
+        jax.block_until_ready(part)
+        parts.append(part)
+        chunk_walls.append(_time.perf_counter() - t_c)
     cands = jax.tree.map(
         lambda *xs: jnp.concatenate(xs, axis=0)[:len(query_ids)], *parts
     )
     match_id = np.asarray(cands.match_id)
     yaw = np.asarray(cands.yaw_rad)
     timings["retrieval_s"] = round(_time.perf_counter() - t0, 3)
+    if len(chunk_walls) > 1:
+        # first chunk carries the (or a cached) compile; the rest are steady
+        timings["retrieval_steady_s"] = round(
+            float(np.median(chunk_walls[1:])) * len(chunk_walls), 3)
 
     sc_dist = np.asarray(cands.distance, np.float32)
     found = match_id >= 0
@@ -274,6 +410,10 @@ def detect_loops(
                                cc.intensity_var_jitter, use_pndt=cc.use_pndt)
     f_valid = C.valid_mask(f_stats, cfg.ndt_map.min_points_per_cell)
 
+    refine = ex["refine"]
+    self_fn = ex["self_term"]
+    m_self_fn = ex["m_self"]
+    gate_b = ex["gate"]
     if lcfg.csm_prealign_loops:
         presearch = jax.jit(jax.vmap(partial(
             matcher.global_grid_search, cfg,
@@ -283,12 +423,9 @@ def detect_loops(
             init_guess, f_mean, f_cov, f_valid, m_mean, m_cov, m_valid
         )
 
-    refine = jax.jit(jax.vmap(partial(matcher.estimate_loop, cfg)))
-
     # ---- step 4: CS-divergence gate (``local_fuser.cpp:338-340``) ----------
     # The fixed-map self terms are pose-invariant: compute once per UNIQUE
     # matched submap (row-chunked O(F^2) pass) and reuse across candidates.
-    self_fn = jax.jit(D.self_term)
     f_self_by_sub = {}
     for s in np.unique(m_submaps):
         j = int(np.nonzero(m_submaps == s)[0][0])
@@ -297,21 +434,14 @@ def detect_loops(
         np.stack([np.asarray(f_self_by_sub[int(s)]) for s in m_submaps])
     )
 
-    def gate(pose, fm, fc, fv, mm, mc, mv, fs, ms):
-        mm2, mc2 = matcher.transform_mean_cov(pose, mm, mc)
-        return D.cs_divergence(fm, fc, fv, mm2, mc2, mv,
-                               f_self=fs, m_self=ms)
-
-    gate_b = jax.jit(jax.vmap(gate))
-    m_self_fn = jax.jit(jax.vmap(D.self_term))
-
     # chunked over candidates: each refinement holds an all-pairs
     # (scan cells x submap cells) association — batching every candidate at
     # once OOMs on long sequences
-    CCH = 64
     n_cand = len(sel)
     est_parts, cs_parts = [], []
+    rg_walls = []
     for lo in range(0, n_cand, CCH):
+        t_c = _time.perf_counter()
         sl = slice(lo, min(lo + CCH, n_cand))
         pad = CCH - (sl.stop - sl.start)
         pick = lambda a: jnp.concatenate(
@@ -323,11 +453,16 @@ def detect_loops(
         e = refine(*args)
         ms = m_self_fn(*args[4:7])
         c = gate_b(e.pose, *args[1:], pick(f_self), ms)
+        jax.block_until_ready(c)
         est_parts.append(e)
         cs_parts.append(c)
+        rg_walls.append(_time.perf_counter() - t_c)
     est = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:n_cand], *est_parts)
     cs = np.asarray(jnp.concatenate(cs_parts)[:n_cand])
     timings["refine_gate_s"] = round(_time.perf_counter() - t0, 3)
+    if len(rg_walls) > 1:
+        timings["refine_gate_steady_s"] = round(
+            float(np.median(rg_walls[1:])) * len(rg_walls), 3)
     accept = cs < lcfg.loop_closure_max_cs_divergence
 
     # ---- step 4.5: odometry-consistency gate (TPU-native extension) --------

@@ -156,11 +156,36 @@ def run_slam(
     from ..loops import detector
 
     timings = {}
+    # Overlap the loop phase's COMPILES with the odometry phase (the
+    # reference overlaps loop search with odometry on timer threads,
+    # ``ndt_slam.h:53-72``).  The loop pass is compile-dominated — its device
+    # compute is sub-ms per chunk (scripts/profile_loop.py) — so pre-warming
+    # the executables into the persistent cache while odometry runs removes
+    # the loop phase's serial wall almost entirely.  TPU only: local CPU
+    # compiles are cheap and the double work would slow the test suite.
+    warm_thread = None
+    if (cfg.local_fuser.use_scan_context_as_loop_closure
+            and jax.default_backend() != "cpu"):
+        import threading
+
+        from ..loops import detector as _detector
+
+        warm_thread = threading.Thread(
+            target=_detector.prewarm, args=(cfg, frames, sensor_to_base),
+            daemon=True)
+        warm_thread.start()
     t0 = time.perf_counter()
     odo = run_odometry(cfg, frames, sensor_to_base=sensor_to_base,
                        initial_pose=initial_pose, use_scan=use_scan,
                        chunk=chunk)
     timings["odometry_s"] = round(time.perf_counter() - t0, 3)
+    if warm_thread is not None:
+        t0 = time.perf_counter()
+        warm_thread.join()  # ~always finished long before odometry
+        timings["loop_prewarm_join_s"] = round(time.perf_counter() - t0, 3)
+        err = getattr(_detector.prewarm, "last_error", None)
+        if err:
+            timings["loop_prewarm_error"] = err
     t0 = time.perf_counter()
     if cfg.local_fuser.use_scan_context_as_loop_closure:
         loops = detector.detect_loops(cfg, odo, frames, sensor_to_base)

@@ -58,6 +58,8 @@ def lm_solve(
     tol: float,
     linearize_fn: Callable | None = None,
     ftol: float = 1e-6,
+    cost_fn: Callable | None = None,
+    solve_fn: Callable | None = None,
 ):
     """Damped Gauss-Newton (LM) at a fixed GNC mu.
 
@@ -69,6 +71,11 @@ def lm_solve(
     one window slot, so its Jacobian needs 3 forward tangents (not all P=36)
     and Hᵀ assembly is a per-slot 3x3 block scatter — ~12x less jvp work than
     the dense ``jacfwd`` default.
+
+    ``cost_fn(params, mu) -> robust cost`` optionally replaces the
+    residual_fn-based cost evaluation (Pallas-fused path).
+    ``solve_fn(A, b) -> x`` optionally replaces ``jnp.linalg.solve`` for the
+    damped SPD normal equations (``ops/small_chol.chol_solve``).
     """
     P = params0.shape[0]
     active_f = active_mask.astype(params0.dtype)
@@ -80,6 +87,8 @@ def lm_solve(
     n_ndt = ndt_valid.shape[0]
 
     def cost_at(p):
+        if cost_fn is not None:
+            return cost_fn(p, mu)
         rn, ra = residual_fn(p)
         return _robust_cost(rn, ra, ndt_valid, aux_valid, ndt_scale, scale, alpha, mu)
 
@@ -114,7 +123,10 @@ def lm_solve(
         dscale = jax.lax.rsqrt(jnp.maximum(diag, 1e-10)) * active_f
         Hs = H * dscale[:, None] * dscale[None, :]
         damp = lam * active_f + (1.0 - active_f)
-        delta_s = -jnp.linalg.solve(Hs + jnp.diag(damp), g * dscale)
+        A = Hs + jnp.diag(damp)
+        rhs = g * dscale
+        delta_s = -(jnp.linalg.solve(A, rhs) if solve_fn is None
+                    else solve_fn(A, rhs))
         delta = delta_s * dscale
 
         trial = p + delta
@@ -172,12 +184,22 @@ def gnc_solve(
     lm_tol: float,
     linearize_fn: Callable | None = None,
     lm_ftol: float = 1e-6,
+    cost_fn: Callable | None = None,
+    r2max_fn: Callable | None = None,
+    solve_fn: Callable | None = None,
 ) -> SolveResult:
     """Graduated non-convexity: LM solves over the decreasing-mu schedule
-    (do-while, ``ndt_matcher.cpp:390-397``)."""
-    rn0, _ = residual_fn(params0)
-    s0 = jnp.where(ndt_valid, rn0 * rn0, 0.0)
-    mu0 = barron.gnc_mu_init(jnp.max(s0), scale, gnc_steps, divisor)
+    (do-while, ``ndt_matcher.cpp:390-397``).
+
+    ``cost_fn(p, mu)`` / ``r2max_fn(p)`` / ``solve_fn(A, b)`` optionally
+    replace the residual-stack cost, the mu-init max squared residual, and
+    the damped linear solve with fused kernels (see ``lm_solve``)."""
+    if r2max_fn is not None:
+        s0_max = r2max_fn(params0)
+    else:
+        rn0, _ = residual_fn(params0)
+        s0_max = jnp.max(jnp.where(ndt_valid, rn0 * rn0, 0.0))
+    mu0 = barron.gnc_mu_init(s0_max, scale, gnc_steps, divisor)
 
     def cond(carry):
         _, mu, rounds = carry
@@ -190,17 +212,22 @@ def gnc_solve(
         p_new, _ = lm_solve(
             residual_fn, p, active_mask, angle_mask, ndt_valid, aux_valid,
             ndt_scale, scale, alpha, mu_eff, lm_max_iters, lm_tol,
-            linearize_fn=linearize_fn, ftol=lm_ftol,
+            linearize_fn=linearize_fn, ftol=lm_ftol, cost_fn=cost_fn,
+            solve_fn=solve_fn,
         )
         return p_new, mu / divisor, rounds + 1
 
     p, mu, rounds = jax.lax.while_loop(
         cond, body, (params0, mu0, jnp.int32(0))
     )
-    rn, ra = residual_fn(p)
-    final_cost = _robust_cost(
-        rn, ra, ndt_valid, aux_valid, ndt_scale, scale, alpha, jnp.maximum(mu, 1.0)
-    )
+    mu_fin = jnp.maximum(mu, 1.0)
+    if cost_fn is not None:
+        final_cost = cost_fn(p, mu_fin)
+    else:
+        rn, ra = residual_fn(p)
+        final_cost = _robust_cost(
+            rn, ra, ndt_valid, aux_valid, ndt_scale, scale, alpha, mu_fin
+        )
     return SolveResult(
         params=p,
         cost=final_cost,

@@ -212,3 +212,23 @@ def test_huber_all_edges_reference_parity_still_works():
         dcs_loop_defense=False,
         use_robust_loss=True, loss_function_scale=750.0))
     np.testing.assert_allclose(np.asarray(plain), np.asarray(hub), atol=1e-2)
+
+
+def test_optimize_bucketed_matches_unpadded():
+    """The shape-bucketed dense wrapper (online PGO ticks) must return the
+    unpadded solve's solution bit-for-bit-close: padded nodes are gauge-fixed
+    and padded edges invalid, so they cannot influence the optimum."""
+    rng = np.random.default_rng(11)
+    g, gt, _ = make_circle_graph(rng, n=37, drift=0.02, n_loops=3)
+    cfg = GlobalFuserConfig(dcs_loop_defense=False)
+    ref, _ = PG.optimize(g, cfg)
+    buck, _ = PG.optimize_bucketed(g, cfg, bucket_nodes=16, bucket_edges=32)
+    assert buck.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(buck), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # max_update_index gating matches optimize's
+    ref2, _ = PG.optimize(g, cfg, max_update_index=10)
+    buck2, _ = PG.optimize_bucketed(g, cfg, max_update_index=10,
+                                    bucket_nodes=16, bucket_edges=32)
+    np.testing.assert_allclose(np.asarray(buck2), np.asarray(ref2),
+                               rtol=1e-4, atol=1e-4)
