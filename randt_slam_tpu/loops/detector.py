@@ -111,8 +111,13 @@ def _loop_executables(cfg: SlamConfig):
                                f_self=fs, m_self=ms)
 
     gate_b = jax.jit(jax.vmap(gate))
+    cc = cfg.ndt_map.cell
+
+    store_fields = jax.jit(lambda st: C.mean_cov(
+        st, cc.eig_floor_ratio, cc.intensity_var_jitter,
+        use_pndt=cc.use_pndt))
     ex = {"detect": detect_batch, "refine": refine, "self_term": self_fn,
-          "m_self": m_self_fn, "gate": gate_b}
+          "m_self": m_self_fn, "gate": gate_b, "store_fields": store_fields}
     _EXEC_CACHE[cfg] = ex
     return ex
 
@@ -140,7 +145,7 @@ def prewarm(cfg: SlamConfig, frames=None, sensor_to_base=None) -> float:
         cap = cfg.capacity
         R, S_sec = cfg.scan_context.num_ring, cfg.scan_context.num_sector
         N_pad = cap.max_nodes
-        C = cap.max_scan_cells
+        Csc = cap.max_scan_cells   # NB: ``C`` is the cells module
         S = cap.max_submap_cells
         # CALL the jitted functions with dummy arrays rather than AOT
         # .lower().compile(): the AOT path writes a DIFFERENT persistent-cache
@@ -149,13 +154,18 @@ def prewarm(cfg: SlamConfig, frames=None, sensor_to_base=None) -> float:
         # cache entry AND populates the in-process jit cache.  Execution cost
         # of each dummy call is sub-ms.
         eye = jnp.broadcast_to(jnp.eye(3, dtype=f32), (CCH, S, 3, 3))
-        eyeC = jnp.broadcast_to(jnp.eye(3, dtype=f32), (CCH, C, 3, 3))
+        eyeC = jnp.broadcast_to(jnp.eye(3, dtype=f32), (CCH, Csc, 3, 3))
         fm = (jnp.ones((CCH, S, 3), f32), eye, jnp.ones((CCH, S), bool))
-        mm = (jnp.ones((CCH, C, 3), f32), eyeC, jnp.ones((CCH, C), bool))
+        mm = (jnp.ones((CCH, Csc, 3), f32), eyeC, jnp.ones((CCH, Csc), bool))
         out = ex["detect"](
             jnp.zeros((QCH,), jnp.int32), jnp.int32(1),
             jnp.zeros((N_pad, R, S_sec), f32), jnp.zeros((N_pad, R), f32),
             jnp.zeros((N_pad, 2), f32), jnp.zeros((N_pad,), f32))
+        NS = cap.max_submaps
+        ust = C.CellStats(n=jnp.ones((NS, S), f32),
+                          s=jnp.zeros((NS, S, 3), f32),
+                          ss=jnp.zeros((NS, S, 3, 3), f32))
+        jax.block_until_ready(ex["store_fields"](ust))
         est = ex["refine"](jnp.zeros((CCH, 3), f32), *fm, *mm)
         ms = ex["m_self"](*mm)
         fs = ex["self_term"](fm[0][0], fm[1][0], fm[2][0])
@@ -398,17 +408,19 @@ def detect_loops(
     # submap_root^-1 * match_pose * Rz(-yaw)  (``local_fuser.cpp:329-333``)
     init_guess = compose(compose(inverse(root_pose), match_pose), yaw_pose)
 
-    # fixed submap cells (gathered per candidate from the store)
+    # Fixed submap cells: derive (mean, cov, valid) ONCE over the whole
+    # store — a FIXED (max_submaps, S) shape shared by every sequence — and
+    # gather rows per chunk below.  Deriving per CANDIDATE (the round-4
+    # code) materialized (n_candidates, S, 3, 3) covariance tables (~0.4 GB
+    # at 650+ candidates) and re-ran the eigendecompositions ~10x over,
+    # with a fresh per-sequence compile shape on top: that was most of the
+    # remaining loop-phase wall.
     sub_idx = jnp.asarray(m_submaps, jnp.int32)
-    f_stats = C.CellStats(
-        n=odo.submap_cells_n[sub_idx],
-        s=odo.submap_cells_s[sub_idx],
-        ss=odo.submap_cells_ss[sub_idx],
-    )
+    u_stats = C.CellStats(
+        n=odo.submap_cells_n, s=odo.submap_cells_s, ss=odo.submap_cells_ss)
     cc = cfg.ndt_map.cell
-    f_mean, f_cov = C.mean_cov(f_stats, cc.eig_floor_ratio,
-                               cc.intensity_var_jitter, use_pndt=cc.use_pndt)
-    f_valid = C.valid_mask(f_stats, cfg.ndt_map.min_points_per_cell)
+    u_mean, u_cov = ex["store_fields"](u_stats)
+    u_valid = C.valid_mask(u_stats, cfg.ndt_map.min_points_per_cell)
 
     refine = ex["refine"]
     self_fn = ex["self_term"]
@@ -420,7 +432,8 @@ def detect_loops(
             use_intensity=bool(lcfg.use_intensity_in_loop_closure),
         )))
         init_guess, _ = presearch(
-            init_guess, f_mean, f_cov, f_valid, m_mean, m_cov, m_valid
+            init_guess, u_mean[sub_idx], u_cov[sub_idx], u_valid[sub_idx],
+            m_mean, m_cov, m_valid
         )
 
     # ---- step 4: CS-divergence gate (``local_fuser.cpp:338-340``) ----------
@@ -428,8 +441,8 @@ def detect_loops(
     # matched submap (row-chunked O(F^2) pass) and reuse across candidates.
     f_self_by_sub = {}
     for s in np.unique(m_submaps):
-        j = int(np.nonzero(m_submaps == s)[0][0])
-        f_self_by_sub[int(s)] = self_fn(f_mean[j], f_cov[j], f_valid[j])
+        f_self_by_sub[int(s)] = self_fn(
+            u_mean[int(s)], u_cov[int(s)], u_valid[int(s)])
     f_self = jnp.asarray(
         np.stack([np.asarray(f_self_by_sub[int(s)]) for s in m_submaps])
     )
@@ -447,9 +460,9 @@ def detect_loops(
         pick = lambda a: jnp.concatenate(
             [a[sl], jnp.repeat(a[sl.stop - 1:sl.stop],
                                pad, axis=0)]) if pad else a[sl]
-        args = tuple(pick(a) for a in
-                     (init_guess, f_mean, f_cov, f_valid,
-                      m_mean, m_cov, m_valid))
+        sub_c = pick(sub_idx)           # (CCH,) submap row per candidate
+        args = (pick(init_guess), u_mean[sub_c], u_cov[sub_c],
+                u_valid[sub_c], pick(m_mean), pick(m_cov), pick(m_valid))
         e = refine(*args)
         ms = m_self_fn(*args[4:7])
         c = gate_b(e.pose, *args[1:], pick(f_self), ms)
@@ -585,15 +598,13 @@ def detect_loops_mahalanobis(
     )
 
     sub_idx = jnp.asarray(m_submaps, jnp.int32)
-    f_stats = C.CellStats(
-        n=odo.submap_cells_n[sub_idx],
-        s=odo.submap_cells_s[sub_idx],
-        ss=odo.submap_cells_ss[sub_idx],
-    )
+    u_stats = C.CellStats(
+        n=odo.submap_cells_n, s=odo.submap_cells_s, ss=odo.submap_cells_ss)
     cc = cfg.ndt_map.cell
-    f_mean, f_cov = C.mean_cov(f_stats, cc.eig_floor_ratio,
+    u_mean, u_cov = C.mean_cov(u_stats, cc.eig_floor_ratio,
                                cc.intensity_var_jitter, use_pndt=cc.use_pndt)
-    f_valid = C.valid_mask(f_stats, cfg.ndt_map.min_points_per_cell)
+    u_valid = C.valid_mask(u_stats, cfg.ndt_map.min_points_per_cell)
+    f_mean, f_cov, f_valid = u_mean[sub_idx], u_cov[sub_idx], u_valid[sub_idx]
 
     if lcfg.compute_dfs_loop_closure:
         # search window from the match covariances (:380-386); the batch

@@ -302,6 +302,24 @@ def frontend_step(cfg: SlamConfig, carry: FrontendCarry, frame: Frame,
 
     complete = carry1.traj_len >= cfg.local_fuser.submap_size_poses
 
+    # Persist the RUNNING submap's compact stats into its store row every
+    # step (one ~213 KB dynamic row write) instead of inside the completion
+    # cond below: under vmap (multi-sequence batching) a cond whose branch
+    # touches the (NS, KS) store lowers to a both-branches select that
+    # streams the whole ~100 MB store per step per sequence — measured as
+    # the cause of the flat one-chip batch curve (SPEED.md §5).  Rows at or
+    # beyond ``store_count`` are invalid by contract, so the partial copies
+    # this writes before completion are never read; the write on the
+    # completion step itself stores exactly the final stats
+    # (``_start_new_submap`` read the same ``c.submap.stats``).
+    _sidx = jnp.minimum(carry1.n_finished, cfg.capacity.max_submaps - 1)
+    _packed = carry1.submap.stats
+    carry1 = carry1._replace(store_cells=CellStats(
+        n=carry1.store_cells.n.at[_sidx].set(_packed.n),
+        s=carry1.store_cells.s.at[_sidx].set(_packed.s),
+        ss=carry1.store_cells.ss.at[_sidx].set(_packed.ss),
+    ))
+
     def on_complete(c):
         c2 = _start_new_submap(cfg, c)
         c3, out2 = _process_scan(cfg, c2, frame, scan)
@@ -358,20 +376,13 @@ def _start_new_submap(cfg: SlamConfig, c: FrontendCarry) -> FrontendCarry:
     prev = G.transform_sparse(geom, c.submap, inverse(switch_pose))
     pf = G.derive_sparse_fields(prev, cfg.ndt_map.min_points_per_cell,
                                 cfg.ndt_map.cell)
-    # Persist the finished submap (replaces ``submaps_`` in
-    # ``local_fuser.h:174``; consumed by the batched loop-closure pass) —
-    # the sparse table is already compact.
-    packed = c.submap.stats
-    idx = jnp.minimum(c.n_finished, cfg.capacity.max_submaps - 1)
-    store_cells = CellStats(
-        n=c.store_cells.n.at[idx].set(packed.n),
-        s=c.store_cells.s.at[idx].set(packed.s),
-        ss=c.store_cells.ss.at[idx].set(packed.ss),
-    )
+    # The finished submap's compact stats were already persisted by the
+    # unconditional pre-cond row write in ``frontend_step`` (keeping the big
+    # store OUT of the completion cond — see the comment there); only the
+    # finished-count advances here.
     W = cfg.matcher.smoothing_steps
     Cc = cfg.capacity.max_scan_cells
     return c._replace(
-        store_cells=store_cells,
         store_count=c.n_finished + 1,
         states=jnp.zeros_like(c.states),
         stamps=jnp.zeros_like(c.stamps),

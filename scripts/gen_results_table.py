@@ -19,17 +19,20 @@ DOC = os.path.join(REPO, "OXFORD_RESULTS.md")
 
 BEGIN = "<!-- AUTOGEN:acceptance-table (scripts/gen_results_table.py) -->"
 END = "<!-- /AUTOGEN:acceptance-table -->"
+BEGIN_R = ("<!-- AUTOGEN:acceptance-table-realistic "
+           "(scripts/gen_results_table.py) -->")
+END_R = "<!-- /AUTOGEN:acceptance-table-realistic -->"
 
 
-def build_section() -> str:
-    summary = json.load(open(os.path.join(ACC, "SUMMARY.json")))
+def build_section(suffix: str = "") -> str:
+    summary = json.load(open(os.path.join(ACC, f"SUMMARY{suffix}.json")))
     seqs = []
     failed = []
     for k in sorted(summary):
         if not re.match(r"\d\d-\d\d-\d\d$", k):
             continue
         if "error" in summary[k] or not os.path.exists(
-                os.path.join(ACC, f"{k}_metrics.json")):
+                os.path.join(ACC, f"{k}{suffix}_metrics.json")):
             failed.append(k)   # persisted failure rows must not brick the
             continue           # generator — they get their own note
         seqs.append(k)
@@ -37,7 +40,7 @@ def build_section() -> str:
     tot = dict(odom_ate=0.0, terr=0.0, rerr=0.0, ate=0.0, ref=0.0)
     pre_gate = []
     for s in seqs:
-        m = json.load(open(os.path.join(ACC, f"{s}_metrics.json")))
+        m = json.load(open(os.path.join(ACC, f"{s}{suffix}_metrics.json")))
         srow = summary[s]
         beats = srow["slam_ate_m"] < srow["ref_slam_ate_m"]
         if not srow.get("final_gate_config", False):
@@ -82,6 +85,16 @@ def build_section() -> str:
         )
     mean_ate = tot["ate"] / n
     mean_ref = tot["ref"] / n
+    if suffix == "_realistic":
+        blurb = (
+            f"**Realistic combined sensor profile** (uint8 quantization + "
+            f"calibrated saturation + 0.1° encoder jitter + 5% multipath — "
+            f"milder than the single-axis stress ablations in §5): "
+            f"**{beats_n} of {n} sequences beat the reference's published "
+            f"SLAM ATE** (mean {mean_ate:.2f} m vs {mean_ref:.2f} m) with "
+            "the DCS two-stage loop defense active."
+        )
+        return "\n".join([head] + rows + [mean, "", blurb])
     blurb = (
         f"**{beats_n} of {n} sequences beat the reference's published SLAM "
         f"ATE** (mean {mean_ate:.2f} m vs {mean_ref:.2f} m). Read it "
@@ -109,8 +122,13 @@ def main():
     section = f"{BEGIN}\n{build_section()}\n{END}"
     new = re.sub(re.escape(BEGIN) + r".*?" + re.escape(END), section, doc,
                  flags=re.S)
+    if (BEGIN_R in new
+            and os.path.exists(os.path.join(ACC, "SUMMARY_realistic.json"))):
+        section_r = f"{BEGIN_R}\n{build_section('_realistic')}\n{END_R}"
+        new = re.sub(re.escape(BEGIN_R) + r".*?" + re.escape(END_R),
+                     section_r, new, flags=re.S)
     open(DOC, "w").write(new)
-    print("OXFORD_RESULTS.md acceptance table regenerated from artifacts")
+    print("OXFORD_RESULTS.md acceptance table(s) regenerated from artifacts")
     return 0
 
 

@@ -269,9 +269,12 @@ def main(argv=None):
                          pgo_every=args.pgo_every)
         T = len(gt)
         t_first = None
+        frame_walls = []
         for t in range(T):
+            t_f = time.perf_counter()
             fr = jax.tree.map(lambda x: jnp.asarray(x[t]), frames)
             eng.process_frame(fr)
+            frame_walls.append(time.perf_counter() - t_f)
             if t == 0:
                 t_first = time.perf_counter() - t0
             if t % 500 == 499:
@@ -283,9 +286,20 @@ def main(argv=None):
         node_pose = eng.trajectory()
         node_frame = np.asarray(eng.node_frame)
         n_loops = eng.n_loop_edges
+        # steady per-frame stats exclude the first 200 frames (compile
+        # window); the 4 Hz sensor budget is 0.25 s/frame (VERDICT r4 item 3)
+        fw = np.asarray(frame_walls[200:] if T > 400 else frame_walls)
         timings = {"mode": "online", "first_frame_s": round(t_first, 1),
                    "loop_every": args.loop_every,
-                   "pgo_every": args.pgo_every}
+                   "pgo_every": args.pgo_every,
+                   "frame_ms_median_steady": round(
+                       float(np.median(fw)) * 1e3, 1),
+                   "frame_ms_p90_steady": round(
+                       float(np.percentile(fw, 90)) * 1e3, 1),
+                   "frame_ms_max_steady": round(float(fw.max()) * 1e3, 1),
+                   "realtime_4hz_ok": bool(np.median(fw) <= 0.25),
+                   "frames_over_budget_pct": round(
+                       float((fw > 0.25).mean() * 100.0), 2)}
 
         class _O:  # minimal OdometryResult view for the shared tail
             pass
