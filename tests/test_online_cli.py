@@ -129,6 +129,33 @@ def test_online_ogm_cadence(tiny_seq):
     assert ogm.max() > 0.5 and ogm.min() < 0.5  # occupied + free evidence
 
 
+def test_online_live_viz_export(tmp_path, monkeypatch):
+    """--online --viz-every overwrites live/ with the current map view each
+    cadence (the RViz NDT-marker + OGM stream equivalent,
+    ``rviz_visualization.cpp:13-18``; VERDICT r4 missing-6)."""
+    import dataclasses
+
+    from randt_slam_tpu import run as cli
+
+    out = str(tmp_path / "out")
+    cfg = dataclasses.replace(_tiny_cfg(), visualize_ogm=True)
+    monkeypatch.setattr(cli, "load_config", lambda args: cfg)
+    monkeypatch.setattr(
+        cli, "load_frames",
+        lambda args, cfg: _tiny_frames(cfg, args.frames or 12),
+    )
+    cli.main(["--input", "synthetic", "--config", "synthetic",
+              "--frames", "12", "--online", "--viz-every", "5", "--ogm",
+              "--output", out])
+    live = os.path.join(out, "live")
+    for f in ["map.png", "ndt_submap.npz", "trajectory.json", "ogm.pgm"]:
+        assert os.path.exists(os.path.join(live, f)), f
+    ndt = np.load(os.path.join(live, "ndt_submap.npz"))
+    assert ndt["mean_x"].size > 0 and np.isfinite(ndt["mean_x"]).all()
+    traj = json.load(open(os.path.join(live, "trajectory.json")))
+    assert len(traj) >= 1 and np.isfinite(traj[-1]["x"])
+
+
 def test_saturation_counters_surface(tiny_seq):
     """Capacity saturation is reported, not silent (VERDICT.md weak item 7)."""
     import dataclasses
