@@ -76,6 +76,7 @@ class LoopResult:
 QCH = 256      # retrieval queries per dispatch
 CCH = 64       # refine+gate candidates per dispatch
 FCH = 64       # keyframe feature recomputes per dispatch
+SCH = 8        # submap self-terms per dispatch (each is an O(S^2) pair sum)
 
 
 _EXEC_CACHE: dict = {}
@@ -113,11 +114,56 @@ def _loop_executables(cfg: SlamConfig):
     gate_b = jax.jit(jax.vmap(gate))
     cc = cfg.ndt_map.cell
 
-    store_fields = jax.jit(lambda st: C.mean_cov(
-        st, cc.eig_floor_ratio, cc.intensity_var_jitter,
-        use_pndt=cc.use_pndt))
+    def _store_fields(st):
+        mu, cov = C.mean_cov(st, cc.eig_floor_ratio, cc.intensity_var_jitter,
+                             use_pndt=cc.use_pndt)
+        return mu, cov, C.valid_mask(st, cfg.ndt_map.min_points_per_cell)
+
+    store_fields = jax.jit(_store_fields)
+
+    # ---- fused per-chunk executables (round 5) ------------------------------
+    # The refine/gate glue used to run as ~90 EAGER jnp ops per sequence
+    # (pads, gathers, pose composition): on the remote TPU compile service
+    # each tiny op costs a ~0.4 s compile RTT and none persist (below the
+    # persistent-cache min-compile-time), so every sequence paid a ~40 s
+    # "compile wall" that profile_loop.py could never see on device.  All
+    # glue now lives INSIDE fixed-shape jitted executables (indices are
+    # padded host-side in numpy), so the prewarm pass covers the whole loop
+    # phase and steady chunks are pure dispatch.
+    def _make_guess(root, match, yaw):
+        # submap_root^-1 * match_pose * Rz(-yaw)  (``local_fuser.cpp:329-333``)
+        yaw_pose = jnp.stack(
+            [jnp.zeros_like(yaw), jnp.zeros_like(yaw), -yaw], axis=-1)
+        return compose(compose(inverse(root), match), yaw_pose)
+
+    make_guess = jax.jit(_make_guess)
+
+    def _refine_chunk(guess, sub_c, um_t, uc_t, uv_t, mm, mc, mv, fs):
+        um, uc2, uv = um_t[sub_c], uc_t[sub_c], uv_t[sub_c]
+        est = jax.vmap(partial(matcher.estimate_loop, cfg))(
+            guess, um, uc2, uv, mm, mc, mv)
+        ms = jax.vmap(D.self_term)(mm, mc, mv)
+        cs = jax.vmap(gate)(est.pose, um, uc2, uv, mm, mc, mv, fs, ms)
+        return est, cs
+
+    refine_chunk = jax.jit(_refine_chunk)
+
+    # fixed-map self terms, SCH submap rows per dispatch (pose-invariant,
+    # computed once per unique matched submap)
+    self_chunk = jax.jit(lambda um_t, uc_t, uv_t, idx: jax.vmap(D.self_term)(
+        um_t[idx], uc_t[idx], uv_t[idx]))
+
+    # candidate scan-cell features (the fast path's only preprocessor re-run)
+    def _cand_one(fr, s2b):
+        scan, _ = F.build_scan_cells(cfg, fr, s2b)
+        return scan.mean, scan.cov, scan.valid
+
+    cand_feat = jax.jit(jax.vmap(_cand_one, in_axes=(0, None)))
+
     ex = {"detect": detect_batch, "refine": refine, "self_term": self_fn,
-          "m_self": m_self_fn, "gate": gate_b, "store_fields": store_fields}
+          "m_self": m_self_fn, "gate": gate_b, "store_fields": store_fields,
+          "make_guess": make_guess, "refine_chunk": refine_chunk,
+          "self_chunk": self_chunk, "cand_feat": cand_feat}
     _EXEC_CACHE[cfg] = ex
     return ex
 
@@ -153,9 +199,7 @@ def prewarm(cfg: SlamConfig, frames=None, sensor_to_base=None) -> float:
         # recompiled), while a dispatch-path call both hits/fills the right
         # cache entry AND populates the in-process jit cache.  Execution cost
         # of each dummy call is sub-ms.
-        eye = jnp.broadcast_to(jnp.eye(3, dtype=f32), (CCH, S, 3, 3))
         eyeC = jnp.broadcast_to(jnp.eye(3, dtype=f32), (CCH, Csc, 3, 3))
-        fm = (jnp.ones((CCH, S, 3), f32), eye, jnp.ones((CCH, S), bool))
         mm = (jnp.ones((CCH, Csc, 3), f32), eyeC, jnp.ones((CCH, Csc), bool))
         out = ex["detect"](
             jnp.zeros((QCH,), jnp.int32), jnp.int32(1),
@@ -165,28 +209,27 @@ def prewarm(cfg: SlamConfig, frames=None, sensor_to_base=None) -> float:
         ust = C.CellStats(n=jnp.ones((NS, S), f32),
                           s=jnp.zeros((NS, S, 3), f32),
                           ss=jnp.zeros((NS, S, 3, 3), f32))
-        jax.block_until_ready(ex["store_fields"](ust))
-        est = ex["refine"](jnp.zeros((CCH, 3), f32), *fm, *mm)
-        ms = ex["m_self"](*mm)
-        fs = ex["self_term"](fm[0][0], fm[1][0], fm[2][0])
-        cs = ex["gate"](est.pose, *fm, *mm, jnp.zeros((CCH,), f32), ms)
-        jax.block_until_ready((out, est, ms, fs, cs))
+        um_t, uc_t, uv_t = ex["store_fields"](ust)
+        jax.block_until_ready(um_t)
+        # the fused chunk executables the real pass dispatches (everything
+        # inside: table gathers, guess composition, GNC refine, self terms,
+        # CS gate) — one fixed shape each, independent of the sequence
+        guess = ex["make_guess"](jnp.zeros((CCH, 3), f32),
+                                 jnp.zeros((CCH, 3), f32),
+                                 jnp.zeros((CCH,), f32))
+        est, cs = ex["refine_chunk"](
+            guess, jnp.zeros((CCH,), jnp.int32), um_t, uc_t, uv_t,
+            *mm, jnp.zeros((CCH,), f32))
+        sv = ex["self_chunk"](um_t, uc_t, uv_t, jnp.zeros((SCH,), jnp.int32))
+        jax.block_until_ready((out, est, cs, sv))
         if frames is not None:
             s2b = (jnp.zeros(3, f32) if sensor_to_base is None
                    else jnp.asarray(sensor_to_base, f32))
-            # same chunked-vmap structure as _candidate_features; only the
-            # HLO (hence cache key) must match — the closure is fresh there
-            # anyway, so call through the identical construction
-            def one(fr):
-                scan, _ = F.build_scan_cells(cfg, fr, s2b)
-                return scan.mean, scan.cov, scan.valid
-
-            fn = jax.jit(jax.vmap(one))
             sub = jax.tree.map(
                 lambda x: jnp.zeros((FCH,) + tuple(x.shape[1:]),
                                     jnp.empty((), x.dtype).dtype),
                 frames)
-            jax.block_until_ready(fn(sub))
+            jax.block_until_ready(ex["cand_feat"](sub, s2b))
     except Exception as e:  # pragma: no cover - must never break the run
         # surfaced via run_slam's timings so a silent miss is visible in the
         # metrics artifact instead of re-appearing as a mystery compile wall
@@ -244,12 +287,23 @@ def _candidate_features(cfg: SlamConfig, frames, node_frames, sensor_to_base,
     The fast path of the loop pass: descriptors come from the front end
     (``FrameOutput.sc_desc`` -> ``OdometryResult.node_desc``), so the full
     preprocessor re-run is needed only for the few keyframes that actually
-    produced a ScanContext candidate (VERDICT r3 item 2)."""
-    def one(fr):
-        scan, _ = F.build_scan_cells(cfg, fr, sensor_to_base)
-        return scan.mean, scan.cov, scan.valid
-
-    return _chunked_over_frames(one, frames, node_frames, chunk)
+    produced a ScanContext candidate (VERDICT r3 item 2).  Dispatches the
+    memoized ``cand_feat`` executable (prewarmed during odometry)."""
+    ex = _loop_executables(cfg)
+    s2b = (jnp.zeros(3, jnp.float32) if sensor_to_base is None
+           else jnp.asarray(sensor_to_base, jnp.float32))
+    outs = []
+    node_frames = np.asarray(node_frames, np.int64)
+    N = len(node_frames)
+    for lo in range(0, N, chunk):
+        idx = node_frames[lo:lo + chunk]
+        if len(idx) < chunk:
+            idx = np.concatenate([idx, np.full(chunk - len(idx), idx[-1])])
+        sub = jax.tree.map(lambda x: jnp.asarray(x[idx]), frames)
+        outs.append(ex["cand_feat"](sub, s2b))
+    return jax.tree.map(
+        lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0)[:N],
+        *outs)
 
 
 def odom_consistency_gate(lcfg, edge_trans, rel_odom, span_m):
@@ -389,63 +443,76 @@ def detect_loops(
             cfg, frames, np.asarray(odo.node_frame)[q_nodes], sensor_to_base
         )
     else:
-        q_idx = jnp.asarray(q_nodes, jnp.int32)
-        m_mean = feats_full[0][q_idx]
-        m_cov = feats_full[1][q_idx]
-        m_valid = feats_full[2][q_idx]
-    jax.block_until_ready(m_mean)
+        m_mean = np.asarray(feats_full[0])[q_nodes]
+        m_cov = np.asarray(feats_full[1])[q_nodes]
+        m_valid = np.asarray(feats_full[2])[q_nodes]
+    # host-resident from here: all device work below goes through the
+    # fixed-shape prewarmed executables, fed by numpy chunk slices
+    m_mean = np.asarray(m_mean, np.float32)
+    m_cov = np.asarray(m_cov, np.float32)
+    m_valid = np.asarray(m_valid, bool)
     timings["cand_features_s"] = round(_time.perf_counter() - t0, 3)
     t0 = _time.perf_counter()
 
     # ---- step 3: initial guesses + batched GNC refinement -----------------
+    # Guess composition (submap_root^-1 * match_pose * Rz(-yaw),
+    # ``local_fuser.cpp:329-333``) happens INSIDE the prewarmed make_guess /
+    # refine_chunk executables: running it eagerly here cost a fresh ~0.4 s
+    # remote-compile RTT per tiny op per sequence (see _loop_executables).
     root_nodes = odo.submap_root[m_submaps]
-    root_pose = jnp.asarray(odo.node_pose[root_nodes], dtype)
-    match_pose = jnp.asarray(odo.node_pose[m_nodes], dtype)
-    yaw_pose = jnp.stack(
-        [jnp.zeros(len(sel), dtype), jnp.zeros(len(sel), dtype),
-         -jnp.asarray(yaw_sel, dtype)], axis=-1
-    )
-    # submap_root^-1 * match_pose * Rz(-yaw)  (``local_fuser.cpp:329-333``)
-    init_guess = compose(compose(inverse(root_pose), match_pose), yaw_pose)
+    root_pose = np.asarray(odo.node_pose, np.float32)[root_nodes]
+    match_pose = np.asarray(odo.node_pose, np.float32)[m_nodes]
+    yaw_np = np.asarray(yaw_sel, np.float32)
 
     # Fixed submap cells: derive (mean, cov, valid) ONCE over the whole
     # store — a FIXED (max_submaps, S) shape shared by every sequence — and
-    # gather rows per chunk below.  Deriving per CANDIDATE (the round-4
-    # code) materialized (n_candidates, S, 3, 3) covariance tables (~0.4 GB
-    # at 650+ candidates) and re-ran the eigendecompositions ~10x over,
-    # with a fresh per-sequence compile shape on top: that was most of the
-    # remaining loop-phase wall.
-    sub_idx = jnp.asarray(m_submaps, jnp.int32)
+    # gather rows per chunk inside refine_chunk.  Deriving per CANDIDATE
+    # (the round-4 code) materialized (n_candidates, S, 3, 3) covariance
+    # tables (~0.4 GB at 650+ candidates) and re-ran the eigendecompositions
+    # ~10x over, with a fresh per-sequence compile shape on top.
+    sub_idx = np.asarray(m_submaps, np.int32)
     u_stats = C.CellStats(
         n=odo.submap_cells_n, s=odo.submap_cells_s, ss=odo.submap_cells_ss)
-    cc = cfg.ndt_map.cell
-    u_mean, u_cov = ex["store_fields"](u_stats)
-    u_valid = C.valid_mask(u_stats, cfg.ndt_map.min_points_per_cell)
+    u_mean, u_cov, u_valid = ex["store_fields"](u_stats)
 
-    refine = ex["refine"]
-    self_fn = ex["self_term"]
-    m_self_fn = ex["m_self"]
-    gate_b = ex["gate"]
+    guess_np = None
     if lcfg.csm_prealign_loops:
+        # CSM pre-alignment (tests / indoor preset; off in the Oxford
+        # config): eager full-batch path, shapes are sequence-sized
         presearch = jax.jit(jax.vmap(partial(
             matcher.global_grid_search, cfg,
             use_intensity=bool(lcfg.use_intensity_in_loop_closure),
         )))
+        sub_d = jnp.asarray(sub_idx)
+        init_guess = compose(
+            compose(inverse(jnp.asarray(root_pose)),
+                    jnp.asarray(match_pose)),
+            jnp.stack([jnp.zeros(len(sel), dtype),
+                       jnp.zeros(len(sel), dtype),
+                       -jnp.asarray(yaw_np)], axis=-1))
         init_guess, _ = presearch(
-            init_guess, u_mean[sub_idx], u_cov[sub_idx], u_valid[sub_idx],
-            m_mean, m_cov, m_valid
+            init_guess, u_mean[sub_d], u_cov[sub_d], u_valid[sub_d],
+            jnp.asarray(m_mean), jnp.asarray(m_cov), jnp.asarray(m_valid)
         )
+        guess_np = np.asarray(init_guess, np.float32)
 
     # ---- step 4: CS-divergence gate (``local_fuser.cpp:338-340``) ----------
     # The fixed-map self terms are pose-invariant: compute once per UNIQUE
-    # matched submap (row-chunked O(F^2) pass) and reuse across candidates.
+    # matched submap (row-chunked O(F^2) pass, SCH rows per dispatch) and
+    # reuse across candidates.
+    uniq = np.unique(m_submaps).astype(np.int32)
     f_self_by_sub = {}
-    for s in np.unique(m_submaps):
-        f_self_by_sub[int(s)] = self_fn(
-            u_mean[int(s)], u_cov[int(s)], u_valid[int(s)])
-    f_self = jnp.asarray(
-        np.stack([np.asarray(f_self_by_sub[int(s)]) for s in m_submaps])
-    )
+    for lo in range(0, len(uniq), SCH):
+        idx = uniq[lo:lo + SCH]
+        if len(idx) < SCH:
+            idx = np.concatenate([idx, np.full(SCH - len(idx), idx[-1],
+                                               np.int32)])
+        vals = np.asarray(ex["self_chunk"](u_mean, u_cov, u_valid,
+                                           jnp.asarray(idx)))
+        for s, v in zip(idx, vals):
+            f_self_by_sub[int(s)] = float(v)
+    f_self = np.asarray([f_self_by_sub[int(s)] for s in m_submaps],
+                        np.float32)
 
     # chunked over candidates: each refinement holds an all-pairs
     # (scan cells x submap cells) association — batching every candidate at
@@ -455,23 +522,25 @@ def detect_loops(
     rg_walls = []
     for lo in range(0, n_cand, CCH):
         t_c = _time.perf_counter()
-        sl = slice(lo, min(lo + CCH, n_cand))
-        pad = CCH - (sl.stop - sl.start)
-        pick = lambda a: jnp.concatenate(
-            [a[sl], jnp.repeat(a[sl.stop - 1:sl.stop],
-                               pad, axis=0)]) if pad else a[sl]
-        sub_c = pick(sub_idx)           # (CCH,) submap row per candidate
-        args = (pick(init_guess), u_mean[sub_c], u_cov[sub_c],
-                u_valid[sub_c], pick(m_mean), pick(m_cov), pick(m_valid))
-        e = refine(*args)
-        ms = m_self_fn(*args[4:7])
-        c = gate_b(e.pose, *args[1:], pick(f_self), ms)
+        idx = np.arange(lo, min(lo + CCH, n_cand))
+        if len(idx) < CCH:
+            idx = np.concatenate([idx, np.full(CCH - len(idx), idx[-1])])
+        if guess_np is not None:
+            guess = jnp.asarray(guess_np[idx])
+        else:
+            guess = ex["make_guess"](jnp.asarray(root_pose[idx]),
+                                     jnp.asarray(match_pose[idx]),
+                                     jnp.asarray(yaw_np[idx]))
+        e, c = ex["refine_chunk"](
+            guess, jnp.asarray(sub_idx[idx]), u_mean, u_cov, u_valid,
+            jnp.asarray(m_mean[idx]), jnp.asarray(m_cov[idx]),
+            jnp.asarray(m_valid[idx]), jnp.asarray(f_self[idx]))
         jax.block_until_ready(c)
-        est_parts.append(e)
-        cs_parts.append(c)
+        est_parts.append(jax.tree.map(np.asarray, e))
+        cs_parts.append(np.asarray(c))
         rg_walls.append(_time.perf_counter() - t_c)
-    est = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:n_cand], *est_parts)
-    cs = np.asarray(jnp.concatenate(cs_parts)[:n_cand])
+    est = jax.tree.map(lambda *xs: np.concatenate(xs)[:n_cand], *est_parts)
+    cs = np.concatenate(cs_parts)[:n_cand]
     timings["refine_gate_s"] = round(_time.perf_counter() - t0, 3)
     if len(rg_walls) > 1:
         timings["refine_gate_steady_s"] = round(
@@ -479,8 +548,18 @@ def detect_loops(
     accept = cs < lcfg.loop_closure_max_cs_divergence
 
     # ---- step 4.5: odometry-consistency gate (TPU-native extension) --------
-    rel_odom = compose(inverse(jnp.asarray(odo.node_pose[root_nodes], dtype)),
-                       jnp.asarray(odo.node_pose[q_nodes], dtype))
+    # relative odometry pose root^-1 * query via the same prewarmed
+    # executable (yaw = 0 leaves the composition unchanged)
+    q_pose = np.asarray(odo.node_pose, np.float32)[q_nodes]
+    rel_parts = []
+    for lo in range(0, n_cand, CCH):
+        idx = np.arange(lo, min(lo + CCH, n_cand))
+        if len(idx) < CCH:
+            idx = np.concatenate([idx, np.full(CCH - len(idx), idx[-1])])
+        rel_parts.append(np.asarray(ex["make_guess"](
+            jnp.asarray(root_pose[idx]), jnp.asarray(q_pose[idx]),
+            jnp.zeros(CCH, np.float32))))
+    rel_odom = np.concatenate(rel_parts)[:n_cand]
     span_m = (np.asarray(odo.node_traversed)[q_nodes]
               - np.asarray(odo.node_traversed)[root_nodes])
     odom_ok = odom_consistency_gate(lcfg, np.asarray(est.pose), rel_odom,

@@ -32,6 +32,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # parent process imports (workers re-insert)
 
 FE_BATCH = 2       # sequences (fixed work)
 FE_FRAMES = 30
