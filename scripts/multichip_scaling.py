@@ -31,6 +31,8 @@ import socket
 import subprocess
 import sys
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)  # parent process imports (workers re-insert)
 
@@ -347,6 +349,10 @@ def main():
         },
     }
     print(json.dumps(result, indent=2))
+    out_path = os.path.join(REPO, "MULTICHIP_MEASURED.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"wrote {out_path}", file=sys.stderr)
     return result
 
 

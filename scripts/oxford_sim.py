@@ -216,6 +216,14 @@ def main(argv=None):
     ap.add_argument("--no-dcs-defense", action="store_true",
                     help="disable the shipped DCS two-stage loop defense "
                          "(GlobalFuserConfig.dcs_loop_defense) for A/B runs")
+    ap.add_argument("--gate-drift-scale", type=float, default=None,
+                    help="scale the loop odometry-consistency gate's drift "
+                         "envelope (loop_odom_gate_trans_pct AND "
+                         "loop_odom_gate_rot_deg_per_100m) by this factor — "
+                         "the documented mitigation for degraded sensors "
+                         "whose odometry drift exceeds the clean-sim "
+                         "calibration (realistic-profile failures); the DCS "
+                         "two-stage defense covers the extra bad-edge risk")
     args = ap.parse_args(argv)
     os.makedirs(args.output, exist_ok=True)
 
@@ -244,6 +252,14 @@ def main(argv=None):
         if args.robust_two_stage:
             gf = _dc.replace(gf, robust_two_stage=True)
         cfg = cfg.replace(global_fuser=gf)
+    if args.gate_drift_scale is not None:
+        lf = cfg.local_fuser
+        cfg = cfg.replace(local_fuser=_dc.replace(
+            lf,
+            loop_odom_gate_trans_pct=(lf.loop_odom_gate_trans_pct
+                                      * args.gate_drift_scale),
+            loop_odom_gate_rot_deg_per_100m=(
+                lf.loop_odom_gate_rot_deg_per_100m * args.gate_drift_scale)))
     # frames stay on host as float16 (renders are f16 already); run_odometry
     # uploads per chunk and the front end upcasts on device — halves the
     # host->device transfer that bounds offline replay throughput

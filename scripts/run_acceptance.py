@@ -63,6 +63,9 @@ def main():
     ap.add_argument("--seqs", default=",".join(SEQS))
     ap.add_argument("--ablate", default="")
     ap.add_argument("--suffix", default="")
+    ap.add_argument("--gate-drift-scale", type=float, default=None,
+                    help="pass through to oxford_sim (degraded-sensor gate "
+                         "recalibration mitigation rows)")
     args = ap.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -81,6 +84,8 @@ def main():
                "--chunk", str(args.chunk), "--output", out]
         if args.ablate:
             cmd += ["--ablate", args.ablate]
+        if args.gate_drift_scale is not None:
+            cmd += ["--gate-drift-scale", str(args.gate_drift_scale)]
         print(f"=== {seq}{args.suffix} ===", flush=True)
         r = subprocess.run(cmd, capture_output=True, text=True)
         wall = time.time() - t0
@@ -130,10 +135,14 @@ def main():
             "wall_steady_s": wall_steady,
             # config provenance: every row written by this script runs the
             # shipped (gate-calibrated) configuration; the fingerprint makes
-            # a later config drift visible in the artifact itself
-            "final_gate_config": True,
+            # a later config drift visible in the artifact itself.  Gate-
+            # recalibration mitigation rows are explicitly NOT the shipped
+            # config and say so.
+            "final_gate_config": args.gate_drift_scale is None,
             "config_fingerprint": _config_fingerprint(),
         }
+        if args.gate_drift_scale is not None:
+            summary[seq]["gate_drift_scale"] = args.gate_drift_scale
         print(json.dumps(summary[seq]), flush=True)
         with open(os.path.join(args.outdir,
                                f"SUMMARY{args.suffix}.json"), "w") as f:
