@@ -19,6 +19,7 @@ Cadences (configurable, defaults match the reference timer frequencies at the
 from __future__ import annotations
 
 from functools import partial
+from time import perf_counter as _pc
 
 import jax
 import jax.numpy as jnp
@@ -90,19 +91,40 @@ class OnlineSlam:
         self.odom_trace: list[np.ndarray] = []
         # per-submap OGM counting grids (online raytrace cadence)
         self._count_grids: dict[int, np.ndarray] = {}
+        # per-stage wall clocks (medians surface in the online metrics)
+        self.stage_walls: dict[str, list] = {
+            "step": [], "record": [], "loops": [], "pgo": []}
 
     # -- helpers -------------------------------------------------------------
 
     @staticmethod
-    def _refine_and_gate(cfg, guess, f_mean, f_cov, f_valid,
-                         m_mean, m_cov, m_valid):
-        """GNC loop refinement + CS-divergence gate as one jitted call
-        (``estimateLoopConstraint`` + ``calculateCSDivergence``)."""
+    def _refine_and_gate(cfg, sub, n_t, s_t, ss_t, root_pose, match_pose,
+                         yaw, q_pose, m_mean, m_cov, m_valid):
+        """GNC loop refinement + CS-divergence gate as ONE jitted call
+        (``estimateLoopConstraint`` + ``calculateCSDivergence``).
+
+        Everything the candidate needs happens inside the jit — the guess
+        composition, the submap-row gather from the carry's store tables and
+        the store-cell (mean, cov, valid) derivation used to run as ~15
+        eager ops per candidate, each paying a dispatch round-trip on a
+        remote-TPU link (the same tax SPEED.md finding 0 measured offline).
+        Returns (refined pose, CS divergence, root^-1 * query) in one fetch.
+        """
+        guess = compose(
+            compose(inverse(root_pose), match_pose),
+            jnp.stack([jnp.zeros_like(yaw), jnp.zeros_like(yaw), -yaw]))
+        stats = C.CellStats(n=n_t[sub], s=s_t[sub], ss=ss_t[sub])
+        cc = cfg.ndt_map.cell
+        f_mean, f_cov = C.mean_cov(stats, cc.eig_floor_ratio,
+                                   cc.intensity_var_jitter,
+                                   use_pndt=cc.use_pndt)
+        f_valid = C.valid_mask(stats, cfg.ndt_map.min_points_per_cell)
         est = matcher.estimate_loop(cfg, guess, f_mean, f_cov, f_valid,
                                     m_mean, m_cov, m_valid)
         mm2, mc2 = matcher.transform_mean_cov(est.pose, m_mean, m_cov)
         cs = D.cs_divergence(f_mean, f_cov, f_valid, mm2, mc2, m_valid)
-        return est.pose, cs
+        rel_odom = compose(inverse(root_pose), q_pose)
+        return est.pose, cs, rel_odom
 
     def _node_features(self, frame):
         scan, filt = F.build_scan_cells(self.cfg, frame, self.s2b)
@@ -111,9 +133,7 @@ class OnlineSlam:
         )
         return scan, desc, filt.beams, filt.beam_mask
 
-    def _record_outputs(self, frame, out):
-        nodes = jax.tree.map(np.asarray, out.nodes)
-        edges = jax.tree.map(np.asarray, out.edges)
+    def _record_outputs(self, frame, out, nodes, edges):
         for k in range(2):
             if not nodes.valid[k]:
                 continue
@@ -253,17 +273,30 @@ class OnlineSlam:
         for k in list(self._recent_feats):
             if k < int(frame.index) - horizon:
                 del self._recent_feats[k]
+        t0 = _pc()
         self.carry, out = self._step(self.carry, frame)
         self._recent_feats[int(frame.index)] = (
             out.sc_desc, out.scan_cells, out.beams, out.beam_mask)
-        self._record_outputs(frame, out)
-        self.odom_trace.append(np.asarray(out.odom_pose))
-        self.rejected_trace.append(bool(np.asarray(out.rejected)))
+        # ONE bundled device->host fetch for everything the host graph logic
+        # reads this frame (the per-field np.asarray calls paid ~15 transfer
+        # round-trips per frame on a remote-TPU link)
+        nodes, edges, odom_pose, rejected = jax.device_get(
+            (out.nodes, out.edges, out.odom_pose, out.rejected))
+        self.stage_walls["step"].append(_pc() - t0)
+        t0 = _pc()
+        self._record_outputs(frame, out, nodes, edges)
+        self.odom_trace.append(odom_pose)
+        self.rejected_trace.append(bool(rejected))
+        self.stage_walls["record"].append(_pc() - t0)
         self._frame_count += 1
         if self._frame_count % self.loop_every == 0:
+            t0 = _pc()
             self.detect_loops()
+            self.stage_walls["loops"].append(_pc() - t0)
         if self._frame_count % self.pgo_every == 0:
+            t0 = _pc()
             self.optimize_pose_graph()
+            self.stage_walls["pgo"].append(_pc() - t0)
         return self.odom_trace[-1]
 
     def detect_loops(self):
@@ -278,40 +311,34 @@ class OnlineSlam:
         keys = self._sc_key
         positions = self._sc_pos
         dists = self._sc_trav
+        store_root = None  # fetched once per cadence, only if needed
         for q in self._pending_loop_queries:
             if q >= N:  # beyond the padded capacity — cannot query
                 continue
-            cand = self._detect(jnp.int32(q), descs, keys, positions, dists,
-                                jnp.int32(N))
+            # one bundled fetch of the retrieval result (match id + yaw)
+            cand = jax.device_get(
+                self._detect(jnp.int32(q), descs, keys, positions, dists,
+                             jnp.int32(N)))
             m = int(cand.match_id)
             if m < 0 or self.node_submap[m] == self.node_submap[q]:
                 continue
             sub = self.node_submap[m]
-            root = int(np.asarray(self.carry.store_root)[sub])
-            root_pose = jnp.asarray(self.node_pose[root])
-            match_pose = jnp.asarray(self.node_pose[m])
-            yaw = float(cand.yaw_rad)
-            guess = compose(
-                compose(inverse(root_pose), match_pose),
-                jnp.asarray([0.0, 0.0, -yaw], jnp.float32),
-            )
-            f_stats = C.CellStats(
-                n=self.carry.store_cells.n[sub],
-                s=self.carry.store_cells.s[sub],
-                ss=self.carry.store_cells.ss[sub],
-            )
-            cc = cfg.ndt_map.cell
-            f_mean, f_cov = C.mean_cov(f_stats, cc.eig_floor_ratio,
-                                       cc.intensity_var_jitter,
-                                       use_pndt=cc.use_pndt)
-            f_valid = C.valid_mask(f_stats, cfg.ndt_map.min_points_per_cell)
+            if store_root is None:
+                store_root = np.asarray(self.carry.store_root)
+            root = int(store_root[sub])
             m_mean, m_cov, m_valid = self._node_cells[q]
-            pose, cs = self._refine(guess, f_mean, f_cov, f_valid,
-                                    m_mean, m_cov, m_valid)
+            # guess composition + store-row gather + (mean, cov, valid)
+            # derivation + GNC refine + CS gate: ONE dispatch, ONE fetch
+            pose, cs, rel_odom = jax.device_get(self._refine(
+                jnp.int32(sub), self.carry.store_cells.n,
+                self.carry.store_cells.s, self.carry.store_cells.ss,
+                jnp.asarray(self.node_pose[root], jnp.float32),
+                jnp.asarray(self.node_pose[m], jnp.float32),
+                jnp.float32(cand.yaw_rad),
+                jnp.asarray(self.node_pose[q], jnp.float32),
+                m_mean, m_cov, m_valid))
             from ..loops.detector import odom_consistency_gate
 
-            rel_odom = compose(inverse(root_pose),
-                               jnp.asarray(self.node_pose[q]))
             span_m = np.asarray(
                 [self.node_traversed[q] - self.node_traversed[root]])
             odom_ok = bool(odom_consistency_gate(

@@ -315,7 +315,14 @@ def main(argv=None):
                    "frame_ms_max_steady": round(float(fw.max()) * 1e3, 1),
                    "realtime_4hz_ok": bool(np.median(fw) <= 0.25),
                    "frames_over_budget_pct": round(
-                       float((fw > 0.25).mean() * 100.0), 2)}
+                       float((fw > 0.25).mean() * 100.0), 2),
+                   # per-stage medians (and worst PGO tick) from the engine
+                   "stage_ms_median": {
+                       k: round(float(np.median(v)) * 1e3, 1)
+                       for k, v in eng.stage_walls.items() if v},
+                   "stage_ms_max": {
+                       k: round(float(np.max(v)) * 1e3, 1)
+                       for k, v in eng.stage_walls.items() if v}}
 
         class _O:  # minimal OdometryResult view for the shared tail
             pass
