@@ -267,6 +267,12 @@ def optimize_bucketed(g: PoseGraph, cfg: GlobalFuserConfig,
     """
     import numpy as np
 
+    # Padding and edge filtering happen HOST-SIDE in numpy: with jnp inputs
+    # every tick's new (N, E) shape lowered ~10 fresh eager concatenate /
+    # compare kernels — each a remote-compile round-trip per ONLINE PGO TICK
+    # (measured: 7.1 s median tick, ~all of it these compiles; the same tax
+    # as SPEED.md finding 0).  The jitted solve uploads the padded graph.
+    g = jax.tree.map(np.asarray, g)
     N = g.poses.shape[0]
     E = g.id_begin.shape[0]
     if max_update_index is not None:
@@ -279,15 +285,15 @@ def optimize_bucketed(g: PoseGraph, cfg: GlobalFuserConfig,
     if N_pad != N or E_pad != E:
         pe = E_pad - E
         g = PoseGraph(
-            poses=jnp.concatenate(
-                [g.poses, jnp.zeros((N_pad - N, 3), dtype)]),
-            id_begin=jnp.concatenate(
-                [g.id_begin, jnp.zeros(pe, g.id_begin.dtype)]),
-            id_end=jnp.concatenate([g.id_end, jnp.zeros(pe, g.id_end.dtype)]),
-            trans=jnp.concatenate([g.trans, jnp.zeros((pe, 3), dtype)]),
-            sqrt_information=jnp.concatenate(
-                [g.sqrt_information, jnp.zeros((pe, 3, 3), dtype)]),
-            valid=jnp.concatenate([g.valid, jnp.zeros(pe, bool)]),
+            poses=np.concatenate(
+                [g.poses, np.zeros((N_pad - N, 3), dtype)]),
+            id_begin=np.concatenate(
+                [g.id_begin, np.zeros(pe, g.id_begin.dtype)]),
+            id_end=np.concatenate([g.id_end, np.zeros(pe, g.id_end.dtype)]),
+            trans=np.concatenate([g.trans, np.zeros((pe, 3), dtype)]),
+            sqrt_information=np.concatenate(
+                [g.sqrt_information, np.zeros((pe, 3, 3), dtype)]),
+            valid=np.concatenate([g.valid, np.zeros(pe, bool)]),
         )
     fixed = np.zeros(N_pad, bool)
     fixed[0] = True

@@ -722,6 +722,9 @@ def optimize_auto(g: PG.PoseGraph, cfg: GlobalFuserConfig,
 
     Returns ``(poses, info)``; ``info['solver']`` records the path taken.
     """
+    # host-side numpy: the edge filter below must not lower per-tick-shaped
+    # eager kernels on a growing online graph (see optimize_bucketed)
+    g = jax.tree.map(np.asarray, g)
     N = g.poses.shape[0]
     if max_update_index is not None:
         consecutive = g.id_begin + 1 == g.id_end

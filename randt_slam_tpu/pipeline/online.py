@@ -376,14 +376,17 @@ class OnlineSlam:
         else:
             max_update = (N - 1) // n_per * n_per  # ``ndt_slam.cpp:354-355``
         E = len(self.edges)
+        # numpy graph: padding/filtering stay host-side, the jitted solve
+        # uploads the padded buffers (no per-tick-shaped eager device ops)
         g = PG.PoseGraph(
-            poses=jnp.asarray(np.stack(self.node_pose), jnp.float32),
-            id_begin=jnp.asarray([e[0] for e in self.edges], jnp.int32),
-            id_end=jnp.asarray([e[1] for e in self.edges], jnp.int32),
-            trans=jnp.asarray(np.stack([e[2] for e in self.edges]), jnp.float32),
-            sqrt_information=jnp.asarray(
-                np.stack([e[3] for e in self.edges]), jnp.float32),
-            valid=jnp.ones(E, bool),
+            poses=np.stack(self.node_pose).astype(np.float32),
+            id_begin=np.asarray([e[0] for e in self.edges], np.int32),
+            id_end=np.asarray([e[1] for e in self.edges], np.int32),
+            trans=np.stack([np.asarray(e[2]) for e in self.edges]).astype(
+                np.float32),
+            sqrt_information=np.stack(
+                [np.asarray(e[3]) for e in self.edges]).astype(np.float32),
+            valid=np.ones(E, bool),
         )
         # Size-routed (``schur.optimize_auto``): dense normal equations while
         # the graph is small, submap-sharded Schur complement beyond — the
